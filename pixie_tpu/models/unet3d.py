@@ -1,0 +1,306 @@
+"""3D U-Net material predictors in flax.linen.
+
+Reimplements the reference's active network path
+(third_party/Wavelet-Generation/models/module/diffusion_network.py):
+
+  * ``MyResBlock`` (diffusion_network.py:639-710): LayerNorm over the three
+    SPATIAL dims with affine params of shape (sp,sp,sp) — an unusual choice we
+    reproduce bit-for-bit — then activation then 3x3x3 conv; the second conv
+    is zero-initialized (nn.py:68-74 ``zero_module``).
+  * ``MyUNetModel`` (diffusion_network.py:712-935): conv-in, per-level
+    res-blocks, stride-2 conv ``Downsample`` (diffusion_network.py:75-97),
+    nearest-neighbor ``Upsample`` + conv (diffusion_network.py:50-71),
+    middle Res-Attn-Res (attention is ALWAYS present in the middle block),
+    skip-concat decoder ([h, skip] channel order, diffusion_network.py:921),
+    LayerNorm head with zero-init conv.
+  * ``AttentionBlock``/``QKVAttention`` (diffusion_network.py:192-262):
+    GroupNorm(32), 1x1 qkv conv, softmax(QK/sqrt(sqrt(d))) in fp32.
+  * ``FeatureProjector`` (diffusion_network.py:534-589): 1x1 conv + GN(32) +
+    SiLU [+ 3x3 conv + GN + SiLU + 1x1 conv + GN] for the deep variant used
+    with 768-d CLIP features (hidden=128 when feature_channels > cond_dim,
+    training_discrete.py:64).
+  * ``SegmentationUNet`` (training_discrete.py:50-88) and ``RegressionUNet``
+    (training_continuous_mse.py:48-89) heads with LeakyReLU(0.02).
+
+Layout is channel-last (N, D, H, W, C) — TPU-native; the torch checkpoint
+converter (convert_torch.py) handles the transposition.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def leaky_relu_002(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.02)
+
+
+class SpatialLayerNorm(nn.Module):
+    """torch.nn.LayerNorm(normalized_shape=[sp,sp,sp]) on NCDHW tensors.
+
+    Normalizes over the spatial dims per (batch, channel) with learnable
+    affine parameters of shape (sp, sp, sp) shared across channels.
+    Input here is channel-last (N,D,H,W,C): reduce over axes (1,2,3).
+    """
+
+    sp: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.sp, self.sp, self.sp))
+        bias = self.param("bias", nn.initializers.zeros, (self.sp, self.sp, self.sp))
+        mean = x.mean(axis=(1, 2, 3), keepdims=True)
+        var = x.var(axis=(1, 2, 3), keepdims=True)
+        xn = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return xn * weight[None, :, :, :, None] + bias[None, :, :, :, None]
+
+
+def conv3(features, kernel=3, strides=1, zero_init=False, name=None):
+    return nn.Conv(
+        features,
+        kernel_size=(kernel, kernel, kernel),
+        strides=(strides, strides, strides),
+        padding=[(kernel // 2,) * 2] * 3,
+        kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+class MyResBlock(nn.Module):
+    """LayerNorm-act-conv x2 residual block (diffusion_network.py:639-710)."""
+
+    out_channels: int
+    sp: int
+    dropout: float = 0.0
+    use_conv_skip: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = SpatialLayerNorm(self.sp, name="in_norm")(x)
+        h = leaky_relu_002(h)
+        h = conv3(self.out_channels, name="in_conv")(h)
+        h = SpatialLayerNorm(self.sp, name="out_norm")(h)
+        h = leaky_relu_002(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3(self.out_channels, zero_init=True, name="out_conv")(h)
+
+        if in_ch == self.out_channels:
+            skip = x
+        elif self.use_conv_skip:
+            skip = conv3(self.out_channels, name="skip_conv")(x)
+        else:
+            skip = conv3(self.out_channels, kernel=1, name="skip_conv")(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention over flattened voxels (diffusion_network.py:192-262)."""
+
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        n, d, h, w, c = x.shape
+        t = d * h * w
+        flat = x.reshape(n, t, c)
+
+        xn = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(flat)
+        qkv = nn.Dense(3 * c, name="qkv")(xn)  # 1x1 conv == dense over channels
+        qkv = qkv.reshape(n * self.num_heads, t, 3 * (c // self.num_heads))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        ch = c // self.num_heads
+        scale = 1.0 / jnp.sqrt(jnp.sqrt(ch)).astype(x.dtype)
+        weight = jnp.einsum(
+            "btc,bsc->bts", q * scale, k * scale, precision="highest"
+        )
+        weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(weight.dtype)
+        a = jnp.einsum("bts,bsc->btc", weight, v, precision="highest")
+        a = a.reshape(n, t, c)
+        a = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj_out")(a)
+        return (flat + a).reshape(n, d, h, w, c)
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv (diffusion_network.py:75-97, use_conv path)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return conv3(self.channels, strides=2, name="op")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 + conv (diffusion_network.py:50-71)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        n, d, h, w, c = x.shape
+        x = jax.image.resize(x, (n, d * 2, h * 2, w * 2, c), method="nearest")
+        return conv3(self.channels, name="conv")(x)
+
+
+class FeatureProjector(nn.Module):
+    """CLIP-feature projector (diffusion_network.py:534-589)."""
+
+    out_channels: int
+    hidden_channels: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.hidden_channels is None:
+            x = conv3(self.out_channels, kernel=1, name="conv0")(x)
+            x = nn.GroupNorm(
+                num_groups=max(self.out_channels // 2, 1), epsilon=1e-5, name="gn0"
+            )(x)
+            return jax.nn.silu(x)
+        x = conv3(self.hidden_channels, kernel=1, name="conv0")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn0")(x)
+        x = jax.nn.silu(x)
+        x = conv3(self.hidden_channels, kernel=3, name="conv1")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn1")(x)
+        x = jax.nn.silu(x)
+        x = conv3(self.out_channels, kernel=1, name="conv2")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn2")(x)
+        return x
+
+
+class MyUNetModel(nn.Module):
+    """The reference U-Net (diffusion_network.py:712-935), channel-last."""
+
+    model_channels: int = 64
+    out_channels: int = 8
+    num_res_blocks: int = 3
+    channel_mult: Sequence[int] = (1, 1, 2, 4)
+    attention_resolutions: Sequence[int] = ()
+    spatial_size: int = 64
+    dropout: float = 0.0
+    num_heads: int = 1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        hs = []
+        ch = self.model_channels
+        h = conv3(ch, name="conv_in")(x)
+        hs.append(h)
+
+        ds = 1
+        sp = self.spatial_size
+        sizes = [sp]
+        block = 0
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                ch = mult * self.model_channels
+                h = MyResBlock(ch, sp, self.dropout, name=f"down_{block}")(
+                    h, deterministic
+                )
+                if ds in self.attention_resolutions:
+                    h = AttentionBlock(self.num_heads, name=f"down_attn_{block}")(h)
+                hs.append(h)
+                block += 1
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(ch, name=f"downsample_{level}")(h)
+                hs.append(h)
+                sizes.append(sp)
+                ds *= 2
+                sp = (sp + 1) // 2
+
+        h = MyResBlock(ch, sp, self.dropout, name="middle_0")(h, deterministic)
+        h = AttentionBlock(self.num_heads, name="middle_attn")(h)
+        h = MyResBlock(ch, sp, self.dropout, name="middle_2")(h, deterministic)
+
+        block = 0
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                # crop for non-even inputs (diffusion_network.py:913-919)
+                if skip.shape[1] < h.shape[1]:
+                    h = h[:, :-1]
+                if skip.shape[2] < h.shape[2]:
+                    h = h[:, :, :-1]
+                if skip.shape[3] < h.shape[3]:
+                    h = h[:, :, :, :-1]
+                cat = jnp.concatenate([h, skip], axis=-1)
+                ch = self.model_channels * mult
+                h = MyResBlock(ch, sp, self.dropout, name=f"up_{block}")(
+                    cat, deterministic
+                )
+                if ds in self.attention_resolutions:
+                    h = AttentionBlock(self.num_heads, name=f"up_attn_{block}")(h)
+                if level and i == self.num_res_blocks:
+                    h = Upsample(ch, name=f"upsample_{block}")(h)
+                    ds //= 2
+                    sp = sizes.pop()
+                block += 1
+
+        h = SpatialLayerNorm(sp, name="out_norm")(h)
+        h = leaky_relu_002(h)
+        return conv3(self.out_channels, zero_init=True, name="out_conv")(h)
+
+
+class SegmentationUNet(nn.Module):
+    """Discrete material classifier head (training_discrete.py:50-88)."""
+
+    feature_channels: int = 768
+    cond_dim: int = 32
+    model_channels: int = 64
+    num_res_blocks: int = 3
+    channel_mult: Sequence[int] = (1, 1, 2, 4)
+    attention_resolutions: Sequence[int] = ()
+    grid_size: int = 64
+    num_classes: int = 8
+
+    @nn.compact
+    def __call__(self, feat_grid, deterministic: bool = True):
+        x = feat_grid
+        if self.feature_channels != self.cond_dim:
+            hidden = 128 if self.feature_channels > self.cond_dim else None
+            x = FeatureProjector(self.cond_dim, hidden, name="projector")(x)
+        return MyUNetModel(
+            model_channels=self.model_channels,
+            out_channels=self.num_classes,
+            num_res_blocks=self.num_res_blocks,
+            channel_mult=tuple(self.channel_mult),
+            attention_resolutions=tuple(self.attention_resolutions),
+            spatial_size=self.grid_size,
+            name="unet",
+        )(x, deterministic)
+
+
+class RegressionUNet(nn.Module):
+    """Continuous (density, E, nu) regressor head (training_continuous_mse.py:48-89)."""
+
+    feature_channels: int = 768
+    cond_dim: int = 32
+    model_channels: int = 64
+    num_res_blocks: int = 3
+    channel_mult: Sequence[int] = (1, 1, 2, 4)
+    attention_resolutions: Sequence[int] = ()
+    grid_size: int = 64
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, feat_grid, deterministic: bool = True):
+        x = feat_grid
+        if self.feature_channels != self.cond_dim:
+            hidden = 128 if self.feature_channels > self.cond_dim else None
+            x = FeatureProjector(self.cond_dim, hidden, name="projector")(x)
+        return MyUNetModel(
+            model_channels=self.model_channels,
+            out_channels=self.out_channels,
+            num_res_blocks=self.num_res_blocks,
+            channel_mult=tuple(self.channel_mult),
+            attention_resolutions=tuple(self.attention_resolutions),
+            spatial_size=self.grid_size,
+            name="unet",
+        )(x, deterministic)

@@ -6,13 +6,19 @@ on fake CPU devices (the driver separately dry-runs the multi-chip path).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must run before the CPU backend is first initialized.  NOTE: this
+# environment's sitecustomize imports jax and pins JAX_PLATFORMS=axon (real
+# TPU tunnel) at interpreter start, so setting the env var here is too late —
+# jax.config.update is the reliable override.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path
