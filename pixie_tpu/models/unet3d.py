@@ -112,7 +112,7 @@ class AttentionBlock(nn.Module):
         t = d * h * w
         flat = x.reshape(n, t, c)
 
-        xn = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(flat)
+        xn = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-5, name="norm")(flat)
         qkv = nn.Dense(3 * c, name="qkv")(xn)  # 1x1 conv == dense over channels
         qkv = qkv.reshape(n * self.num_heads, t, 3 * (c // self.num_heads))
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -164,14 +164,16 @@ class FeatureProjector(nn.Module):
                 num_groups=max(self.out_channels // 2, 1), epsilon=1e-5, name="gn0"
             )(x)
             return jax.nn.silu(x)
+        gh = min(32, self.hidden_channels)
+        go = min(32, self.out_channels)
         x = conv3(self.hidden_channels, kernel=1, name="conv0")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn0")(x)
+        x = nn.GroupNorm(num_groups=gh, epsilon=1e-5, name="gn0")(x)
         x = jax.nn.silu(x)
         x = conv3(self.hidden_channels, kernel=3, name="conv1")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn1")(x)
+        x = nn.GroupNorm(num_groups=gh, epsilon=1e-5, name="gn1")(x)
         x = jax.nn.silu(x)
         x = conv3(self.out_channels, kernel=1, name="conv2")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn2")(x)
+        x = nn.GroupNorm(num_groups=go, epsilon=1e-5, name="gn2")(x)
         return x
 
 
