@@ -1,0 +1,239 @@
+"""E2E per-object pipeline: the same CLI surface as the reference's
+``python pipeline.py obj_id=... material_mode=neural`` (reference
+pipeline.py:438-517) rebuilt library-first — stages are in-process calls
+with the same on-disk artifact contract and idempotent skip-if-output-exists
+semantics (reference pipeline.py:77,121,144,176,240,283).
+
+Stages (each skipped when its outputs exist unless ``overwrite=true``):
+  1. download_assets        — Objaverse download (requires network; optional)
+  2. render_blender_images  — external Blender (optional, gated on binary)
+  3. train_nerf             — distilled-CLIP feature field (pixie_tpu.recon)
+  4. train_gaussians        — 3DGS training (pixie_tpu.recon)
+  5. generate_voxels        — feature field -> 64^3 grid + occupancy mask
+  6. material segmentation  — neural: U-Net inference -> mapped_preds.ply
+                              vlm: VLM labeling chain -> segmented_semantics.ply
+  7. run_physics_simulation — MPM rollout + frame exports
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import sys
+import time
+from pathlib import Path
+
+from pixie_tpu.config import compose
+from pixie_tpu.utils.paths import (
+    create_directories,
+    get_output_paths,
+    resolve_paths,
+    sample_dir,
+    voxel_artifact_paths,
+)
+
+
+def set_logger():
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+
+
+def stage_done(*paths) -> bool:
+    return all(Path(p).exists() for p in paths)
+
+
+def download_assets(cfg, paths):
+    obj_dir = Path(paths["data_dir"])
+    if stage_done(obj_dir) and any(obj_dir.iterdir() if obj_dir.exists() else []):
+        logging.info("[download] %s exists, skipping", obj_dir)
+        return
+    try:
+        import objaverse  # noqa: PLC0415
+
+        objaverse.load_objects([cfg.obj_id])
+    except Exception as e:  # noqa: BLE001
+        logging.warning("[download] objaverse unavailable (%s); provide data manually", e)
+
+
+def render_blender_images(cfg, paths):
+    data_dir = Path(paths["data_dir"])
+    if stage_done(data_dir / "transforms.json") and not cfg.overwrite:
+        logging.info("[blender] transforms.json exists, skipping")
+        return
+    if shutil.which(str(cfg.paths.get("blender_path", "blender"))) is None:
+        logging.warning("[blender] blender binary not found; skipping render stage")
+        return
+    raise NotImplementedError(
+        "Blender rendering shells out to pixie_tpu/blender scripts; run the "
+        "reference blender stage or provide pre-rendered data."
+    )
+
+
+def train_nerf(cfg, paths):
+    out = Path(paths["nerf_output"])
+    ckpt = out / "checkpoints" / "field.msgpack"
+    if ckpt.exists() and not cfg.overwrite:
+        logging.info("[nerf] checkpoint exists, skipping")
+        return
+    from pixie_tpu.recon.train_field import train_feature_field  # noqa: PLC0415
+
+    train_feature_field(
+        data_dir=paths["data_dir"], output_dir=str(out),
+        max_iterations=cfg.training_3d.nerf_max_num_iterations,
+    )
+
+
+def train_gaussians(cfg, paths):
+    out = Path(paths["gs_output"])
+    if (out / "point_cloud").exists() and not cfg.overwrite:
+        logging.info("[gs] checkpoint exists, skipping")
+        return
+    from pixie_tpu.recon.train_gaussians import train_gaussian_splatting  # noqa: PLC0415
+
+    train_gaussian_splatting(
+        data_dir=paths["data_dir"], output_dir=str(out),
+        iterations=cfg.training_3d.gs_iterations,
+    )
+
+
+def generate_voxels(cfg, paths):
+    render_out = paths["render_output"]
+    art = voxel_artifact_paths(render_out)
+    if stage_done(art["features"], art["mask"]) and not (
+        cfg.overwrite or cfg.overwrite_voxel
+    ):
+        logging.info("[voxels] artifacts exist, skipping")
+        return
+    from pixie_tpu.recon.field_adapter import load_field_adapter  # noqa: PLC0415
+    from pixie_tpu.voxel.voxelize import extract_feature_voxel_grid  # noqa: PLC0415
+
+    field = load_field_adapter(paths["nerf_output"])
+    b = cfg.voxelization.scene_bounds
+    grid_size = cfg.voxelization.grid_size
+    extract_feature_voxel_grid(
+        field,
+        art["npz"],
+        bounds=(tuple(b.x_bound), tuple(b.y_bound), tuple(b.z_bound)),
+        voxel_size=(b.x_bound[1] - b.x_bound[0]) / grid_size,
+        batch_size=cfg.voxelization.batch_size,
+        alpha_weighted=cfg.voxelization.alpha_weighted,
+        alpha_threshold_for_mask=cfg.voxelization.alpha_threshold_for_mask,
+        gray_threshold_for_mask=cfg.voxelization.gray_threshold,
+        expected_grid=grid_size,
+    )
+
+
+def generate_neural_segmentation(cfg, paths):
+    """U-Net inference -> mapped_preds.ply (pixie/utils.py:724-796)."""
+    render_out = Path(paths["render_output"])
+    neural_dir = Path(paths["neural_base_dir"])
+    mapped_ply = render_out / f"sample_{cfg.physics.sample_id}" / "mapped_preds.ply"
+    if mapped_ply.exists() and not cfg.overwrite:
+        logging.info("[neural] %s exists, skipping", mapped_ply)
+        return mapped_ply
+
+    from pixie_tpu.train.data import MaterialVoxelDataset  # noqa: PLC0415
+    from pixie_tpu.train.inference import run_inference  # noqa: PLC0415
+    from pixie_tpu.train.trainer import latest_checkpoint  # noqa: PLC0415
+    from pixie_tpu.utils.norm import load_normalization_ranges  # noqa: PLC0415
+    from pixie_tpu.voxel.map_pred_to_coords import map_pred_to_ply  # noqa: PLC0415
+
+    ranges = load_normalization_ranges(
+        Path(cfg.paths.normalization_stats_dir) / "normalization_ranges.yaml"
+    )
+    dataset = MaterialVoxelDataset(
+        render_out.parent, ranges,
+        grid_size=cfg.training.default_grid_size,
+        feature_channels=cfg.training.feature_channels,
+        num_material_classes=cfg.training.num_material_classes,
+        background_id=cfg.training.background_id,
+        feature_type=cfg.training.feature_type,
+        sample_id=cfg.physics.sample_id,
+        enforce_mask_consistency=False,  # inference has no GT material grid
+    )
+    obj_indices = [
+        i for i, s in enumerate(dataset.samples) if s.obj_id == cfg.obj_id
+    ]
+    seg_ckpt = latest_checkpoint(cfg.paths.discrete_checkpoint_dir)
+    cont_ckpt = latest_checkpoint(cfg.paths.continuous_checkpoint_dir)
+    if seg_ckpt is None or cont_ckpt is None:
+        raise FileNotFoundError(
+            f"U-Net checkpoints not found under "
+            f"{cfg.paths.discrete_checkpoint_dir} / {cfg.paths.continuous_checkpoint_dir}"
+        )
+    run_inference(
+        dataset, seg_ckpt, cont_ckpt, neural_dir,
+        batch_size=cfg.training.inference.batch_size, indices=obj_indices,
+    )
+
+    art = voxel_artifact_paths(str(render_out))
+    mapped_ply.parent.mkdir(parents=True, exist_ok=True)
+    map_pred_to_ply(
+        pred_path=neural_dir / cfg.obj_id / f"sample_{cfg.physics.sample_id}_pred.npy",
+        mask_path=art["mask"],
+        grid_feature_path=art["npz"],
+        output_path=mapped_ply,
+        obj_id=cfg.obj_id,
+        ranges=ranges,
+    )
+    return mapped_ply
+
+
+def generate_vlm_segmentation(cfg, paths):
+    from pixie_tpu.vlm_labeler.chain import run_vlm_labeling_chain  # noqa: PLC0415
+
+    return run_vlm_labeling_chain(cfg, paths)
+
+
+def run_physics_simulation(cfg, paths, material_ply):
+    out = Path(paths["physgaussian_output"]) / f"sample_{cfg.physics.sample_id}"
+    if (out / "sim_info.json").exists() and not cfg.overwrite:
+        logging.info("[sim] %s exists, skipping", out)
+        return
+    from pixie_tpu.sim.driver import run_simulation  # noqa: PLC0415
+
+    obj_class = cfg.obj_class or "tree"
+    sim_cfg = (
+        Path(cfg.paths.physgaussian_config_dir) / "objaverse"
+        / f"custom_{obj_class}_config.json"
+    )
+    if not sim_cfg.exists():
+        raise FileNotFoundError(f"physics config not found: {sim_cfg}")
+    run_simulation(
+        point_cloud_path=material_ply,
+        config_path=sim_cfg,
+        output_dir=out,
+        save_ply=cfg.physics.save_ply,
+        debug=cfg.physics.debug,
+    )
+
+
+def main(argv=None):
+    set_logger()
+    overrides = list(sys.argv[1:] if argv is None else argv)
+    cfg = compose(overrides=overrides)
+    if not cfg.obj_id:
+        raise ValueError("obj_id is required: python pipeline.py obj_id=...")
+    cfg = resolve_paths(cfg)
+    paths = get_output_paths(cfg, cfg.obj_id)
+    create_directories(paths)
+
+    t0 = time.time()
+    download_assets(cfg, paths)
+    render_blender_images(cfg, paths)
+    train_nerf(cfg, paths)
+    train_gaussians(cfg, paths)
+    generate_voxels(cfg, paths)
+    if cfg.material_mode == "neural":
+        material_ply = generate_neural_segmentation(cfg, paths)
+    elif cfg.material_mode == "vlm":
+        material_ply = generate_vlm_segmentation(cfg, paths)
+    else:
+        raise ValueError(f"unknown material_mode {cfg.material_mode!r}")
+    run_physics_simulation(cfg, paths, material_ply)
+    logging.info("pipeline complete in %.1fs", time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,10 @@ from pixie_tpu.sim.types import get_material_id
 DEFAULT_VALUES = {"density": 1000.0, "E": 5000.0, "nu": 0.3, "part_label": 0}
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def _knn_brute(query: jnp.ndarray, ref: jnp.ndarray, k: int = 10):
     """Brute-force kNN on device: (Q,3) vs (R,3) -> (dists (Q,k), idx (Q,k)).
 

@@ -1,0 +1,232 @@
+"""Voxelizer: sample a feature field into a dense voxel grid + occupancy mask.
+
+Port of pixie/voxel/voxelize.py (extract_clip_voxel_grid:17-141 and
+_create_occupancy_mask:188-263) with the same artifact contract:
+  clip_features.npz (metadata), clip_features_features.npy (D,D,D,C fp16),
+  clip_features_alphas.npy, clip_features_rgb.npy, clip_features_mask.npy,
+  clip_features_pc.ply.
+
+Differences from the reference, TPU-first:
+  * field queries are batched jit calls against any JAX field adapter
+    (duck-typed: ``query(points) -> {"density","feature"}``, ``get_rgb``);
+  * alpha = 1 - exp(-density * delta) (field_adapter.py:14-18);
+  * alpha-weighted features = alpha * feature (optimize.py:224-228);
+  * statistical outlier removal uses the device kNN (open3d semantics:
+    keep points whose mean kNN distance < mean + std_ratio * std);
+  * floating-cluster removal stays sklearn DBSCAN host-side (as in reference).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from pixie_tpu.sim.material_field import knn
+from pixie_tpu.utils.io import write_ply
+
+
+def dense_voxel_grid(min_bounds, max_bounds, voxel_size: float) -> np.ndarray:
+    """(nx,ny,nz,3) grid of voxel-corner coordinates
+    (f3rm_robot/initial_proposals.py:18-27: arange per axis, ij indexing)."""
+    axes = [
+        np.arange(lo, hi, voxel_size, dtype=np.float32)
+        for lo, hi in zip(min_bounds, max_bounds)
+    ]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+    return grid
+
+
+def get_alpha(density: np.ndarray, delta: float) -> np.ndarray:
+    """alpha compositing (field_adapter.py:14-18)."""
+    return 1.0 - np.exp(-np.asarray(density) * delta)
+
+
+def statistical_outlier_mask(
+    points: np.ndarray, nb_neighbors: int = 50, std_ratio: float = 4.0
+) -> np.ndarray:
+    """open3d remove_statistical_outlier semantics: mean distance to the
+    nb_neighbors nearest neighbors; keep if < global_mean + std_ratio * std."""
+    n = len(points)
+    if n <= nb_neighbors:
+        return np.ones(n, bool)
+    dists, _ = knn(points, points, k=nb_neighbors + 1)  # includes self at d=0
+    mean_d = dists[:, 1:].mean(axis=1)
+    mu, sigma = mean_d.mean(), mean_d.std()
+    return mean_d < mu + std_ratio * sigma
+
+
+def largest_clusters_mask(
+    points: np.ndarray, eps: float, min_points: int = 10
+) -> np.ndarray:
+    """DBSCAN; keep all non-noise points (voxelize.py:245-252)."""
+    from sklearn.cluster import DBSCAN  # noqa: PLC0415
+
+    if len(points) == 0:
+        return np.zeros(0, bool)
+    labels = DBSCAN(eps=eps, min_samples=min_points).fit_predict(points)
+    return labels != -1
+
+
+def create_occupancy_mask(
+    voxel_grid: np.ndarray,
+    alphas: np.ndarray,
+    rgb: np.ndarray,
+    alpha_threshold: float = 0.01,
+    gray_threshold: float = 0.05,
+    run_outlier_filter: bool = True,
+    nb_neighbors: int = 50,
+    std_ratio: float = 4.0,
+    min_cluster_pts: int = 10,
+    eps_multiplier: float = 5.0,
+    voxel_size: float = 1.0 / 64,
+) -> np.ndarray:
+    """Occupancy = alpha > thr AND rgb-mean > gray AND statistical-inlier AND
+    non-noise DBSCAN cluster (_create_occupancy_mask, voxelize.py:188-263)."""
+    shape = voxel_grid.shape[:-1]
+    coords = voxel_grid.reshape(-1, 3)
+    alphas_flat = np.asarray(alphas, np.float32).reshape(-1)
+    rgb_flat = np.asarray(rgb, np.float32).reshape(-1, 3)
+
+    idx = np.where(alphas_flat > alpha_threshold)[0]
+    # gray-background filter (optimize.py:264-300): mean RGB intensity
+    non_bg = rgb_flat[idx].mean(axis=-1) > gray_threshold
+    logging.info("Removed %d black background voxels out of %d", int((~non_bg).sum()), len(idx))
+    idx = idx[non_bg]
+
+    if run_outlier_filter and len(idx):
+        pts = coords[idx]
+        stat_keep = statistical_outlier_mask(pts, nb_neighbors, std_ratio)
+        idx = idx[stat_keep]
+        cluster_keep = largest_clusters_mask(
+            coords[idx], eps=voxel_size * eps_multiplier, min_points=min_cluster_pts
+        )
+        idx = idx[cluster_keep]
+
+    mask = np.zeros(coords.shape[0], bool)
+    mask[idx] = True
+    return mask.reshape(shape)
+
+
+def extract_feature_voxel_grid(
+    field,
+    output_path: str | Path,
+    bounds=((-0.5, 0.5), (-0.5, 0.5), (-0.5, 0.5)),
+    voxel_size: float = 1.0 / 64,
+    batch_size: int = 4096,
+    alpha_weighted: bool = True,
+    alpha_threshold_for_mask: float = 0.01,
+    gray_threshold_for_mask: float = 0.05,
+    run_outlier_filter: bool = True,
+    nb_neighbors: int = 50,
+    std_ratio: float = 4.0,
+    min_cluster_pts: int = 10,
+    eps_multiplier: float = 5.0,
+    expected_grid: int | None = 64,
+) -> dict:
+    """Sample ``field`` on the dense grid and write the artifact set.
+
+    ``field`` duck-type: ``query(points (B,3)) -> {"density" (B,1)|(B,),
+    "feature" (B,C)}`` and ``get_rgb(points) -> (B,3)``; arrays may be jax or
+    numpy.  Returns the artifact path dict.
+    """
+    output_path = str(output_path)
+    min_bounds = tuple(b[0] for b in bounds)
+    max_bounds = tuple(b[1] for b in bounds)
+    grid = dense_voxel_grid(min_bounds, max_bounds, voxel_size)
+    shape = grid.shape[:-1]
+    if expected_grid is not None:
+        # hard grid assert (voxelize.py:301): learning path requires 64^3
+        assert shape == (expected_grid,) * 3, (
+            f"voxel grid shape {shape} != {(expected_grid,)*3}; "
+            f"adjust bounds/voxel_size"
+        )
+    flat = grid.reshape(-1, 3)
+    total = flat.shape[0]
+
+    probe = field.query(flat[:1])
+    feat_dim = int(np.asarray(probe["feature"]).shape[-1])
+
+    features = np.zeros((total, feat_dim), np.float16)
+    alphas = np.zeros((total, 1), np.float16)
+    rgb = np.zeros((total, 3), np.float16)
+
+    for i in range(0, total, batch_size):
+        batch = flat[i : i + batch_size]
+        out = field.query(batch)
+        density = np.asarray(out["density"], np.float32).reshape(-1, 1)
+        alpha = get_alpha(density, voxel_size)
+        feature = np.asarray(out["feature"], np.float32)
+        if alpha_weighted:
+            feature = alpha * feature  # get_qp_feats (optimize.py:224-228)
+        features[i : i + batch_size] = feature.astype(np.float16)
+        alphas[i : i + batch_size] = alpha.astype(np.float16)
+        rgb[i : i + batch_size] = np.asarray(
+            field.get_rgb(batch), np.float32
+        ).astype(np.float16)
+
+    features = features.reshape(*shape, feat_dim)
+    alphas = alphas.reshape(*shape, 1)
+    rgb = rgb.reshape(*shape, 3)
+
+    paths = save_voxel_data(
+        output_path, features, alphas, rgb, min_bounds, max_bounds, voxel_size,
+        alpha_weighted, alpha_threshold_for_mask,
+    )
+
+    mask = create_occupancy_mask(
+        grid, alphas, rgb, alpha_threshold_for_mask, gray_threshold_for_mask,
+        run_outlier_filter, nb_neighbors, std_ratio, min_cluster_pts,
+        eps_multiplier, voxel_size,
+    )
+    mask_path = output_path.replace(".npz", "_mask.npy")
+    np.save(mask_path, mask.astype(np.float32))
+    paths["mask"] = mask_path
+
+    # occupancy point cloud for inspection (voxelize.py:266-406)
+    pc_path = output_path.replace(".npz", "_pc.ply")
+    coords = grid.reshape(-1, 3)[mask.reshape(-1)]
+    colors = (np.clip(rgb.reshape(-1, 3)[mask.reshape(-1)].astype(np.float32), 0, 1) * 255).astype(np.uint8)
+    vertex = np.zeros(len(coords), dtype=[
+        ("x", "f4"), ("y", "f4"), ("z", "f4"),
+        ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+    ])
+    vertex["x"], vertex["y"], vertex["z"] = coords.T
+    vertex["red"], vertex["green"], vertex["blue"] = colors.T
+    write_ply(pc_path, vertex)
+    paths["pc_ply"] = pc_path
+
+    logging.info(
+        "Voxelization done: %d/%d occupied voxels", int(mask.sum()), mask.size
+    )
+    return paths
+
+
+def save_voxel_data(
+    output_path, features, alphas, rgb, min_bounds, max_bounds, voxel_size,
+    alpha_weighted, alpha_threshold,
+) -> dict:
+    """Write the npz metadata + sidecar npy arrays (voxelize.py:144-185)."""
+    base = output_path.replace(".npz", "")
+    paths = {
+        "npz": output_path,
+        "features": f"{base}_features.npy",
+        "alphas": f"{base}_alphas.npy",
+        "rgb": f"{base}_rgb.npy",
+    }
+    Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+    np.save(paths["features"], features)
+    np.save(paths["alphas"], alphas)
+    np.save(paths["rgb"], rgb)
+    np.savez(
+        output_path,
+        min_bounds=np.asarray(min_bounds, np.float32),
+        max_bounds=np.asarray(max_bounds, np.float32),
+        voxel_size=np.float32(voxel_size),
+        grid_shape=np.asarray(features.shape[:-1]),
+        feature_dim=features.shape[-1],
+        alpha_weighted=alpha_weighted,
+        alpha_threshold=alpha_threshold,
+    )
+    return paths

@@ -1,0 +1,173 @@
+"""End-to-end slice tests: voxelize -> map predictions -> simulate."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pixie_tpu.utils.norm import REFERENCE_RANGES
+
+
+class SphereField:
+    """Synthetic feature field: a dense sphere of radius 0.3 at the origin."""
+
+    def __init__(self, feat_dim=16):
+        self.feat_dim = feat_dim
+
+    def query(self, points):
+        points = np.asarray(points)
+        r = np.linalg.norm(points, axis=-1)
+        density = np.where(r < 0.3, 500.0, 0.0)[:, None]
+        feature = np.tile(density > 0, (1, self.feat_dim)).astype(np.float32)
+        return {"density": density, "feature": feature}
+
+    def get_rgb(self, points):
+        points = np.asarray(points)
+        r = np.linalg.norm(points, axis=-1)
+        return np.where(r[:, None] < 0.3, 0.8, 0.0).repeat(3, axis=-1)
+
+
+class TestVoxelizer:
+    def test_extract_and_mask(self, tmp_path):
+        from pixie_tpu.voxel.voxelize import extract_feature_voxel_grid
+
+        out = tmp_path / "clip_features.npz"
+        paths = extract_feature_voxel_grid(
+            SphereField(), out, voxel_size=1.0 / 32, expected_grid=32,
+            batch_size=2048, nb_neighbors=10,
+        )
+        feats = np.load(paths["features"])
+        assert feats.shape == (32, 32, 32, 16)
+        assert feats.dtype == np.float16
+        mask = np.load(paths["mask"])
+        assert mask.shape == (32, 32, 32)
+        # sphere volume fraction ~ (4/3 pi 0.3^3) = 0.113 of the unit cube
+        frac = mask.sum() / mask.size
+        assert 0.05 < frac < 0.2
+        meta = np.load(paths["npz"])
+        assert tuple(meta["grid_shape"]) == (32, 32, 32)
+        assert Path(paths["pc_ply"]).exists()
+
+    def test_grid_shape_assert(self, tmp_path):
+        from pixie_tpu.voxel.voxelize import extract_feature_voxel_grid
+
+        with pytest.raises(AssertionError, match="voxel grid shape"):
+            extract_feature_voxel_grid(
+                SphereField(), tmp_path / "x.npz", voxel_size=1.0 / 16,
+                expected_grid=64,
+            )
+
+    def test_alpha_weighting(self):
+        from pixie_tpu.voxel.voxelize import get_alpha
+
+        a = get_alpha(np.array([500.0]), 1.0 / 64)
+        assert 0.99 < a[0] <= 1.0
+        assert get_alpha(np.array([0.0]), 1.0 / 64)[0] == 0.0
+
+
+class TestMapPredToPly:
+    def test_map_and_world_transform(self, tmp_path):
+        from pixie_tpu.voxel.map_pred_to_coords import map_pred_to_ply
+        from pixie_tpu.utils.io import read_ply
+
+        d = 16
+        rng = np.random.default_rng(0)
+        pred = rng.uniform(-1, 1, (11, d, d, d)).astype(np.float32)
+        # make one-hot-ish seg channels
+        seg = np.zeros((8, d, d, d), np.float32)
+        cls = rng.integers(0, 8, (d, d, d))
+        for k in range(8):
+            seg[k] = cls == k
+        pred[3:] = seg
+        mask = (rng.uniform(size=(d, d, d)) < 0.3).astype(np.float32)
+
+        np.save(tmp_path / "pred.npy", pred)
+        np.save(tmp_path / "mask.npy", mask)
+        np.savez(
+            tmp_path / "grid.npz",
+            min_bounds=np.array([-0.5, -0.5, -0.5], np.float32),
+            max_bounds=np.array([0.5, 0.5, 0.5], np.float32),
+            grid_shape=np.array([d, d, d]),
+        )
+        dp = {"scale": 2.0, "transform": np.eye(4)[:3].tolist()}
+        (tmp_path / "dataparser_transforms.json").write_text(json.dumps(dp))
+
+        vertex = map_pred_to_ply(
+            tmp_path / "pred.npy", tmp_path / "mask.npy", tmp_path / "grid.npz",
+            tmp_path / "mapped_preds.ply", "obj", REFERENCE_RANGES,
+            world_output_path=tmp_path / "world.ply",
+            dataparser_path=tmp_path / "dataparser_transforms.json",
+        )
+        assert len(vertex) == int(mask.sum())
+        # density must be in physical range (unscaled)
+        assert vertex["density"].min() >= 10 ** REFERENCE_RANGES.density_min - 1
+        assert vertex["density"].max() <= 10 ** REFERENCE_RANGES.density_max + 1
+        # conf is the max class probability = 1.0 for one-hot
+        np.testing.assert_allclose(vertex["conf"], 1.0)
+        # world output scaled by 1/2
+        w = read_ply(tmp_path / "world.ply")["vertex"]
+        np.testing.assert_allclose(w["x"], vertex["x"] / 2.0, atol=1e-6)
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from pixie_tpu.voxel.map_pred_to_coords import map_pred_to_ply
+
+        np.save(tmp_path / "pred.npy", np.zeros((11, 8, 8, 8), np.float32))
+        np.save(tmp_path / "mask.npy", np.zeros((16, 16, 16), np.float32))
+        np.savez(
+            tmp_path / "grid.npz",
+            min_bounds=np.zeros(3), max_bounds=np.ones(3),
+            grid_shape=np.array([16, 16, 16]),
+        )
+        with pytest.raises(ValueError, match="do not match grid shape"):
+            map_pred_to_ply(
+                tmp_path / "pred.npy", tmp_path / "mask.npy",
+                tmp_path / "grid.npz", tmp_path / "out.ply", "obj",
+                REFERENCE_RANGES,
+            )
+
+
+class TestSimDriver:
+    def test_full_rollout_from_material_ply(self, tmp_path):
+        from pixie_tpu.sim.driver import run_simulation
+        from pixie_tpu.utils.io import make_material_vertex, write_ply, read_ply
+
+        rng = np.random.default_rng(0)
+        n = 400
+        coords = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+        v = make_material_vertex(
+            coords=coords,
+            density=np.full(n, 300.0, np.float32),
+            E=np.full(n, 1e5, np.float32),
+            nu=np.full(n, 0.35, np.float32),
+            material_id=np.zeros(n, np.int64),
+        )
+        ply = tmp_path / "mapped_preds.ply"
+        write_ply(ply, v)
+
+        sim_cfg = {
+            "material": "jelly", "n_grid": 24, "grid_lim": 2.0,
+            "substep_dt": 1e-4, "frame_dt": 2e-3, "frame_num": 3,
+            "g": 9.8,
+            "boundary_conditions": [
+                {"type": "surface_collider", "point": [0, 0, 0.1],
+                 "normal": [0, 0, 1], "surface": "sticky", "friction": 0.0,
+                 "start_time": 0, "end_time": 1e3}
+            ],
+        }
+        cfg_path = tmp_path / "sim.json"
+        cfg_path.write_text(json.dumps(sim_cfg))
+
+        info = run_simulation(ply, cfg_path, tmp_path / "out", debug=True)
+        assert info["n_particles"] == n
+        assert info["frames"] == 3
+        assert info["substeps_per_frame"] == 20
+        frames = sorted((tmp_path / "out" / "ply_files").glob("frame_*.ply"))
+        assert len(frames) == 3
+        f = read_ply(frames[-1])["vertex"]
+        assert len(f) == n
+        assert np.isfinite(f["x"]).all()
+        # world-frame output should be near the original object scale
+        assert np.abs(f["x"]).max() < 1.0
+        assert (tmp_path / "out" / "sim_info.json").exists()
+        assert (tmp_path / "out" / "boundary_conditions.json").exists()
