@@ -36,20 +36,24 @@ def bench_unet(batch: int, iters: int, grid: int = 64, feat_ch: int = 768):
     x = jnp.zeros((batch, grid, grid, grid, feat_ch), jnp.bfloat16)
     seg_p = seg.init(rng, x)["params"]
     cont_p = cont.init(rng, x)["params"]
+    # distinct input buffers per iteration: this runtime caches identical
+    # dispatches, which silently invalidates repeated-same-input timing loops
+    keys = jax.random.split(rng, iters)
+    xs = [jax.random.normal(k, x.shape, x.dtype) for k in keys]
+    jax.block_until_ready(xs)
 
     @jax.jit
     def fwd(seg_p, cont_p, x):
         return seg.apply({"params": seg_p}, x), cont.apply({"params": cont_p}, x)
 
     t0 = time.time()
-    out = fwd(seg_p, cont_p, x)
+    out = fwd(seg_p, cont_p, xs[0])
     jax.block_until_ready(out)
     log(f"unet compile+first: {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    for _ in range(iters):
-        out = fwd(seg_p, cont_p, x)
-    jax.block_until_ready(out)
+    outs = [fwd(seg_p, cont_p, xi) for xi in xs]
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / iters
     grids_per_sec = batch / dt
     log(f"unet: {dt*1e3:.1f}ms/batch{batch} = {grids_per_sec:.2f} grids/s")

@@ -1,0 +1,235 @@
+"""Pallas MPM transfer kernels: tiled P2G splat and G2P gather.
+
+Replaces the reference's atomic-scatter P2G (mpm_utils.py:338-394) and
+per-particle gather G2P (mpm_utils.py:412-463) with TPU-native kernels:
+
+  * particles live in a tile-sorted, block-padded layout (ops/tiling.py);
+  * each program processes one PBLK-particle block of one tile;
+  * the quadratic B-spline splat is expressed as one-hot weighted window
+    factors (PBLK, WIN_S) per axis — three variants each: w, w*(i-fx), dw —
+    combined into per-particle (y,z) pair maps and contracted against
+    channel-stacked left matrices on the MXU, accumulating the tile's
+    (4ch, WIN_S, WIN_S^2) node window entirely in VMEM;
+  * G2P runs the transpose: pair maps against the tile's grid-velocity
+    window, then per-axis-variant contractions recover velocity, the APIC
+    C matrix and the velocity gradient per particle.
+
+No scatter/gather instructions anywhere; the only dynamic indexing is the
+block->tile output/input mapping, expressed through BlockSpec index_maps on
+a scalar-prefetched tile-id table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pixie_tpu.ops.tiling import PBLK, TILE, WIN, WIN_S
+
+# pdata channel layout (see build_pdata)
+_CH = 32
+_U0, _FX, _M = 0, 3, 6
+_QA, _QBX, _QBY, _QBZ = 7, 10, 13, 16
+_QSX, _QSY, _QSZ = 19, 22, 25
+
+N_GRID_CH = 4   # momentum x/y/z + mass
+N_VEL_CH = 3
+OUT_CH = 32     # g2p: v(3) C(9) grad(9) padded to 32
+
+
+def build_pdata(x, v, C, stress, mass, vol, tile_coords_per_slot, dt, dx, inv_dx):
+    """Assemble the kernel input (Np, 32) from padded-layout state arrays.
+
+    All dense elementwise math (XLA).  tile_coords_per_slot is (Np, 3) int32.
+    """
+    grid_pos = x * inv_dx
+    base = jnp.floor(grid_pos - 0.5).astype(jnp.int32)
+    fx = grid_pos - base.astype(jnp.float32)
+    u0 = base - tile_coords_per_slot * TILE + 1  # window-relative base
+    u0 = jnp.clip(u0, 0, WIN - 3).astype(jnp.float32)
+
+    qa = mass[:, None] * v
+    qb = mass[:, None, None] * dx * C          # (Np,3,3)
+    qs = -(vol * dt)[:, None, None] * stress * inv_dx
+
+    cols = [
+        u0, fx, mass[:, None], qa,
+        qb[:, :, 0], qb[:, :, 1], qb[:, :, 2],
+        qs[:, :, 0], qs[:, :, 1], qs[:, :, 2],
+    ]
+    pdata = jnp.concatenate(cols, axis=1)
+    pad = _CH - pdata.shape[1]
+    return jnp.pad(pdata, ((0, 0), (0, pad)))
+
+
+def _window_factors(u0, fx):
+    """One-hot weighted window factor matrices for one axis.
+
+    u0, fx: (PBLK,) -> X1, X2, X3: (PBLK, WIN_S) with
+      X1 = sum_i w_i * onehot(u0+i), X2 = sum_i w_i*(i-fx)*onehot, X3 = sum_i dw_i*onehot
+    (B-spline weights as in p2g_apic_with_stress, mpm_utils.py:342-358).
+    """
+    iota = jax.lax.broadcasted_iota(jnp.float32, (u0.shape[0], WIN_S), 1)
+    w = [0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1.0) ** 2, 0.5 * (fx - 0.5) ** 2]
+    dw = [fx - 1.5, -2.0 * (fx - 1.0), fx - 0.5]
+    x1 = jnp.zeros_like(iota)
+    x2 = jnp.zeros_like(iota)
+    x3 = jnp.zeros_like(iota)
+    for i in range(3):
+        hit = (iota == (u0 + i)[:, None]).astype(jnp.float32)
+        x1 = x1 + w[i][:, None] * hit
+        x2 = x2 + (w[i] * (i - fx))[:, None] * hit
+        x3 = x3 + dw[i][:, None] * hit
+    return x1, x2, x3
+
+
+def _pairs(y_facs, z_facs):
+    """(PBLK,WIN_S) x-pair products -> (PBLK, WIN_S*WIN_S) maps for the five
+    needed (y,z) variant combinations: (1,1), (2,1), (1,2), (3,1), (1,3)."""
+    y1, y2, y3 = y_facs
+    z1, z2, z3 = z_facs
+
+    def pair(a, b):
+        return (a[:, :, None] * b[:, None, :]).reshape(a.shape[0], WIN_S * WIN_S)
+
+    return pair(y1, z1), pair(y2, z1), pair(y1, z2), pair(y3, z1), pair(y1, z3)
+
+
+def _p2g_kernel(tile_ref, pdata_ref, out_ref):
+    i = pl.program_id(0)
+
+    first = jnp.logical_or(i == 0, tile_ref[i] != tile_ref[jnp.maximum(i - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    d = pdata_ref[...]  # (PBLK, 32)
+    x1, x2, x3 = _window_factors(d[:, _U0 + 0], d[:, _FX + 0])
+    y_facs = _window_factors(d[:, _U0 + 1], d[:, _FX + 1])
+    z_facs = _window_factors(d[:, _U0 + 2], d[:, _FX + 2])
+    p11, p21, p12, p31, p13 = _pairs(y_facs, z_facs)
+
+    m = d[:, _M]
+    qa = d[:, _QA:_QA + 3]
+    qbx = d[:, _QBX:_QBX + 3]
+    qby = d[:, _QBY:_QBY + 3]
+    qbz = d[:, _QBZ:_QBZ + 3]
+    qsx = d[:, _QSX:_QSX + 3]
+    qsy = d[:, _QSY:_QSY + 3]
+    qsz = d[:, _QSZ:_QSZ + 3]
+
+    def lefts(per_ch_x):
+        """per_ch_x: list of 4 (PBLK, WIN_S) -> (PBLK, 4*WIN_S)."""
+        return jnp.concatenate(per_ch_x, axis=1)
+
+    l11 = lefts(
+        [x1 * qa[:, c:c + 1] + x2 * qbx[:, c:c + 1] + x3 * qsx[:, c:c + 1]
+         for c in range(3)] + [x1 * m[:, None]]
+    )
+    zero = jnp.zeros_like(x1)
+    l21 = lefts([x1 * qby[:, c:c + 1] for c in range(3)] + [zero])
+    l12 = lefts([x1 * qbz[:, c:c + 1] for c in range(3)] + [zero])
+    l31 = lefts([x1 * qsy[:, c:c + 1] for c in range(3)] + [zero])
+    l13 = lefts([x1 * qsz[:, c:c + 1] for c in range(3)] + [zero])
+
+    acc = out_ref[...]
+    for left, pair_map in ((l11, p11), (l21, p21), (l12, p12), (l31, p31), (l13, p13)):
+        acc = acc + jax.lax.dot_general(
+            left, pair_map, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[...] = acc
+
+
+def p2g_tiled(pdata, block_tile, n_tiles_total: int, interpret: bool = False):
+    """pdata (NB*PBLK, 32), block_tile (NB,) -> windows
+    (n_tiles_total, 4*WIN_S, WIN_S*WIN_S) fp32."""
+    nb = block_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((PBLK, _CH), lambda i, tile_ref: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N_GRID_CH * WIN_S, WIN_S * WIN_S),
+            lambda i, tile_ref: (tile_ref[i], 0, 0),
+        ),
+    )
+    return pl.pallas_call(
+        _p2g_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles_total, N_GRID_CH * WIN_S, WIN_S * WIN_S), jnp.float32
+        ),
+        interpret=interpret,
+    )(block_tile, pdata)
+
+
+def _g2p_kernel(tile_ref, pdata_ref, win_ref, out_ref):
+    d = pdata_ref[...]
+    x1, x2, x3 = _window_factors(d[:, _U0 + 0], d[:, _FX + 0])
+    y_facs = _window_factors(d[:, _U0 + 1], d[:, _FX + 1])
+    z_facs = _window_factors(d[:, _U0 + 2], d[:, _FX + 2])
+    p11, p21, p12, p31, p13 = _pairs(y_facs, z_facs)
+
+    win = win_ref[0]  # (3*WIN_S, WIN_S^2)
+
+    outs = []
+    for c in range(3):
+        wc = win[c * WIN_S : (c + 1) * WIN_S, :]  # (WIN_S, YZ)
+
+        def contract(pair_map):
+            # (PBLK, YZ) @ (YZ, WIN_S) -> (PBLK, WIN_S)
+            return jax.lax.dot_general(
+                pair_map, wc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        t11 = contract(p11)
+        t21 = contract(p21)
+        t12 = contract(p12)
+        t31 = contract(p31)
+        t13 = contract(p13)
+
+        v_c = jnp.sum(x1 * t11, axis=1, keepdims=True)
+        c_x = jnp.sum(x2 * t11, axis=1, keepdims=True)
+        c_y = jnp.sum(x1 * t21, axis=1, keepdims=True)
+        c_z = jnp.sum(x1 * t12, axis=1, keepdims=True)
+        g_x = jnp.sum(x3 * t11, axis=1, keepdims=True)
+        g_y = jnp.sum(x1 * t31, axis=1, keepdims=True)
+        g_z = jnp.sum(x1 * t13, axis=1, keepdims=True)
+        outs.extend([v_c, c_x, c_y, c_z, g_x, g_y, g_z])
+
+    res = jnp.concatenate(outs, axis=1)  # (PBLK, 21)
+    out_ref[...] = jnp.pad(res, ((0, 0), (0, OUT_CH - res.shape[1])))
+
+
+def g2p_tiled(pdata, windows, block_tile, interpret: bool = False):
+    """pdata (NB*PBLK,32), windows (T3, 3*WIN_S, WIN_S^2), block_tile (NB,)
+    -> (NB*PBLK, 32): per channel c: [v_c, C_cx, C_cy, C_cz, g_cx, g_cy, g_cz]
+    (unitless; caller applies inv_dx scalings)."""
+    nb = block_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((PBLK, _CH), lambda i, tile_ref: (i, 0)),
+            pl.BlockSpec(
+                (1, N_VEL_CH * WIN_S, WIN_S * WIN_S),
+                lambda i, tile_ref: (tile_ref[i], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((PBLK, OUT_CH), lambda i, tile_ref: (i, 0)),
+    )
+    return pl.pallas_call(
+        _g2p_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * PBLK, OUT_CH), jnp.float32),
+        interpret=interpret,
+    )(block_tile, pdata, windows)

@@ -1,0 +1,150 @@
+"""Parity of the tiled Pallas fast path vs. the reference-faithful solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixie_tpu.ops import tiling, transfer
+from pixie_tpu.sim.solver import g2p, grid_update, p2g, p2g2p
+from pixie_tpu.sim.solver_fast import (
+    FastMPMSolver,
+    grid_to_g2p_windows,
+    p2g2p_fast,
+    pad_state_to_layout,
+    unpad_state,
+    windows_to_combine_layout,
+)
+from pixie_tpu.sim.types import MPMConfig, finalize_mu_lam, make_state
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+def random_state(n=300, n_grid=24, seed=0, with_velocity=True):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0.4, 1.6, (n, 3)).astype(np.float32)
+    st = make_state(x, np.full(n, 1e-5, np.float32), density=300.0, E=1e5, nu=0.35)
+    st = finalize_mu_lam(st)
+    if with_velocity:
+        st = st.replace(
+            v=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+            C=jnp.asarray(0.1 * rng.normal(size=(n, 3, 3)).astype(np.float32)),
+            stress=jnp.asarray(
+                (lambda s: 0.5 * (s + np.swapaxes(s, -1, -2)))(
+                    1e3 * rng.normal(size=(n, 3, 3))
+                ).astype(np.float32)
+            ),
+        )
+    return st, MPMConfig(n_grid=n_grid, grid_lim=2.0, gravity=(0.0, 0.0, -9.8))
+
+
+class TestP2GParity:
+    def test_grid_matches_reference_path(self):
+        st, cfg = random_state()
+        layout = tiling.build_padded_layout(np.asarray(st.x), cfg.n_grid, cfg.inv_dx)
+        stp = pad_state_to_layout(st, layout)
+
+        pdata = transfer.build_pdata(
+            stp.x, stp.v, stp.C, stp.stress, stp.mass, stp.vol,
+            jnp.repeat(layout["tile_coords"], tiling.PBLK, axis=0),
+            1e-4, cfg.dx, cfg.inv_dx,
+        )
+        t = tiling.n_tiles(cfg.n_grid)
+        wins = transfer.p2g_tiled(
+            pdata, layout["block_tile"], t ** 3, interpret=INTERPRET
+        )
+        grid_fast = tiling.combine_windows(
+            windows_to_combine_layout(wins, t), cfg.n_grid, 4
+        )
+        grid_ref = p2g(st, cfg, 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(grid_fast), np.asarray(grid_ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_mass_conservation(self):
+        st, cfg = random_state(n=500)
+        layout = tiling.build_padded_layout(np.asarray(st.x), cfg.n_grid, cfg.inv_dx)
+        stp = pad_state_to_layout(st, layout)
+        pdata = transfer.build_pdata(
+            stp.x, stp.v, stp.C, stp.stress, stp.mass, stp.vol,
+            jnp.repeat(layout["tile_coords"], tiling.PBLK, axis=0),
+            1e-4, cfg.dx, cfg.inv_dx,
+        )
+        t = tiling.n_tiles(cfg.n_grid)
+        wins = transfer.p2g_tiled(
+            pdata, layout["block_tile"], t ** 3, interpret=INTERPRET
+        )
+        grid_fast = tiling.combine_windows(
+            windows_to_combine_layout(wins, t), cfg.n_grid, 4
+        )
+        np.testing.assert_allclose(
+            float(grid_fast[..., 3].sum()), float(st.mass.sum()), rtol=1e-5
+        )
+
+
+class TestG2PParity:
+    def test_substep_matches_reference(self):
+        st, cfg = random_state()
+        layout = tiling.build_padded_layout(np.asarray(st.x), cfg.n_grid, cfg.inv_dx)
+        stp = pad_state_to_layout(st, layout)
+
+        out_fast_padded = p2g2p_fast(
+            stp, layout, cfg, (), jnp.float32(0.0), jnp.float32(1e-4),
+            interpret=INTERPRET,
+        )
+        out_fast = unpad_state(out_fast_padded, layout, st.n_particles)
+        out_ref = p2g2p(st, cfg, (), jnp.float32(0.0), jnp.float32(1e-4))
+
+        np.testing.assert_allclose(
+            np.asarray(out_fast.v), np.asarray(out_ref.v), atol=2e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fast.x), np.asarray(out_ref.x), atol=2e-6, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fast.C), np.asarray(out_ref.C), atol=2e-3, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fast.F_trial), np.asarray(out_ref.F_trial),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    def test_substep_with_bcs_matches(self):
+        from pixie_tpu.sim.bc import make_cuboid_velocity, make_surface_collider
+
+        st, cfg = random_state(n=200)
+        bcs = (
+            make_surface_collider([0, 0, 0.3], [0, 0, 1], "sticky"),
+            make_cuboid_velocity([1, 1, 1.5], [0.3, 0.3, 0.1], [0, 0, 0], reset=1),
+        )
+        layout = tiling.build_padded_layout(np.asarray(st.x), cfg.n_grid, cfg.inv_dx)
+        stp = pad_state_to_layout(st, layout)
+        out_fast = unpad_state(
+            p2g2p_fast(stp, layout, cfg, bcs, jnp.float32(0.0), jnp.float32(1e-4),
+                       interpret=INTERPRET),
+            layout, st.n_particles,
+        )
+        out_ref = p2g2p(st, cfg, bcs, jnp.float32(0.0), jnp.float32(1e-4))
+        np.testing.assert_allclose(
+            np.asarray(out_fast.v), np.asarray(out_ref.v), atol=2e-5, rtol=1e-4
+        )
+
+
+class TestFastSolverFrames:
+    def test_multi_frame_rollout_matches_reference(self):
+        from pixie_tpu.sim.solver import simulate_substeps
+
+        st, cfg = random_state(n=250, with_velocity=False)
+        fast = FastMPMSolver(st, cfg, interpret=INTERPRET)
+        substeps, dt = 25, 2e-4
+        fast.step_frame(substeps, dt)
+        fast.step_frame(substeps, dt)
+
+        ref = simulate_substeps(st, cfg, (), jnp.float32(0.0), jnp.float32(dt),
+                                2 * substeps)
+        np.testing.assert_allclose(
+            np.asarray(fast.state.x), np.asarray(ref.x), atol=5e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast.state.v), np.asarray(ref.v), atol=5e-4, rtol=1e-3
+        )
