@@ -1,0 +1,106 @@
+"""Field adapter: world-space point queries against a trained field.
+
+Port of f3rm_robot/field_adapter.py:28-72 (FeatureFieldAdapter): density,
+alpha, RGB and distilled features per (x,y,z), with the world->NeRF transform
+applied on the fly (identity for Objaverse; dataparser_transforms.json for
+real scenes — f3rm_robot/load.py:136-169).
+
+Implements the duck-type the voxelizer consumes:
+  query(points) -> {"density", "feature"};  get_rgb(points) -> (B,3).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixie_tpu.recon.field import FeatureField, NerfField
+
+
+class FieldAdapter:
+    def __init__(self, nerf_params, feat_params=None, feature_dim: int = 768,
+                 world_to_nerf_scale: float = 1.0,
+                 world_to_nerf_transform: np.ndarray | None = None):
+        self.nerf = NerfField()
+        self.feat = FeatureField(feature_dim=feature_dim) if feat_params else None
+        self.nerf_params = nerf_params
+        self.feat_params = feat_params
+        self.scale = float(world_to_nerf_scale)
+        self.transform = (
+            np.asarray(world_to_nerf_transform, np.float32)
+            if world_to_nerf_transform is not None
+            else None
+        )
+
+        @jax.jit
+        def _query(nerf_params, feat_params, pts01):
+            density = self.nerf.apply(nerf_params, pts01, None, True)
+            if self.feat is not None:
+                feature = self.feat.apply(feat_params, pts01)
+            else:
+                feature = jnp.concatenate(
+                    [density, jnp.zeros_like(density)], axis=-1
+                )
+            return density, feature
+
+        @jax.jit
+        def _rgb(nerf_params, pts01):
+            _, rgb = self.nerf.apply(
+                nerf_params, pts01, jnp.zeros_like(pts01), False
+            )
+            return rgb
+
+        self._query_fn = _query
+        self._rgb_fn = _rgb
+
+    def _to_nerf01(self, world_points: np.ndarray) -> jnp.ndarray:
+        p = np.asarray(world_points, np.float32)
+        if self.transform is not None:
+            ph = np.concatenate([p, np.ones((len(p), 1), np.float32)], axis=1)
+            p = (self.transform @ ph.T).T[:, :3]
+        p = p * self.scale
+        # fields are parameterized on [0,1]^3 over the [-1,1] box
+        return jnp.asarray(p * 0.5 + 0.5)
+
+    def query(self, world_points):
+        density, feature = self._query_fn(
+            self.nerf_params, self.feat_params, self._to_nerf01(world_points)
+        )
+        return {"density": density, "feature": feature}
+
+    def get_density(self, world_points):
+        return self.query(world_points)["density"]
+
+    def get_alpha(self, world_points, delta: float):
+        return 1.0 - jnp.exp(-self.get_density(world_points) * delta)
+
+    def get_rgb(self, world_points):
+        return self._rgb_fn(self.nerf_params, self._to_nerf01(world_points))
+
+
+def load_field_adapter(output_dir: str | Path) -> FieldAdapter:
+    """Load a trained field checkpoint (train_field.save_field_checkpoint)
+    plus the optional dataparser transform next to it."""
+    from pixie_tpu.recon.train_field import load_field_checkpoint  # noqa: PLC0415
+
+    params = load_field_checkpoint(output_dir)
+    meta_path = Path(output_dir) / "checkpoints" / "field_meta.json"
+    feature_dim = 768
+    if meta_path.exists():
+        feature_dim = json.loads(meta_path.read_text()).get("feature_dim", 768)
+
+    scale, transform = 1.0, None
+    dp = Path(output_dir) / "dataparser_transforms.json"
+    if dp.exists():
+        d = json.loads(dp.read_text())
+        scale = float(d["scale"])
+        transform = np.asarray(d["transform"], np.float32)
+
+    return FieldAdapter(
+        params["nerf"], params.get("feat"), feature_dim=feature_dim,
+        world_to_nerf_scale=scale, world_to_nerf_transform=transform,
+    )

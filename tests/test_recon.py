@@ -1,0 +1,181 @@
+"""Reconstruction stack tests: hash encoding, fields, rendering, training."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixie_tpu.recon.field import FeatureField, NerfField, RenderConfig, render_rays
+from pixie_tpu.recon.hashgrid import (
+    HashGridConfig,
+    HashGridEncoding,
+    frequency_encoding,
+    sh_encoding,
+)
+
+
+class TestHashGrid:
+    def test_shapes_and_determinism(self, rng):
+        cfg = HashGridConfig(n_levels=4, features_per_level=2,
+                             log2_table_size=12, base_resolution=4,
+                             max_resolution=32)
+        enc = HashGridEncoding(cfg)
+        x = jnp.asarray(rng.uniform(0, 1, (100, 3)).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        out = enc.apply(params, x)
+        assert out.shape == (100, 8)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(enc.apply(params, x)))
+
+    def test_trilinear_continuity(self, rng):
+        """Output must be continuous: nearby points give nearby features."""
+        cfg = HashGridConfig(n_levels=2, features_per_level=2,
+                             log2_table_size=10, base_resolution=4,
+                             max_resolution=8)
+        enc = HashGridEncoding(cfg)
+        x = jnp.asarray(rng.uniform(0.1, 0.9, (50, 3)).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        a = enc.apply(params, x)
+        b = enc.apply(params, x + 1e-4)
+        assert float(jnp.abs(a - b).max()) < 1e-2
+
+    def test_gradients_flow_to_table(self, rng):
+        enc = HashGridEncoding(HashGridConfig(n_levels=2, features_per_level=2,
+                                              log2_table_size=8,
+                                              base_resolution=4, max_resolution=8))
+        x = jnp.asarray(rng.uniform(0, 1, (16, 3)).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
+        assert float(jnp.abs(g["params"]["table"]).sum()) > 0
+
+    def test_frequency_and_sh_encodings(self):
+        x = jnp.array([[0.1, 0.2, 0.3]])
+        assert frequency_encoding(x, 6).shape == (1, 36)
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        sh = sh_encoding(d, 4)
+        assert sh.shape == (1, 16)
+        np.testing.assert_allclose(float(sh[0, 0]), 0.2820947917, rtol=1e-6)
+
+
+class TestRendering:
+    def _setup(self):
+        nerf = NerfField()
+        rng = jax.random.PRNGKey(0)
+        p = nerf.init(rng, jnp.zeros((4, 3)), jnp.zeros((4, 3)), False)
+        apply = lambda pp, pts, dirs, donly: nerf.apply(pp, pts, dirs, donly)
+        return apply, p
+
+    def test_render_outputs_shapes(self):
+        apply, p = self._setup()
+        origins = jnp.zeros((8, 3)).at[:, 2].set(2.0)
+        dirs = jnp.zeros((8, 3)).at[:, 2].set(-1.0)
+        cfg = RenderConfig(n_coarse=16, n_fine=16)
+        out = render_rays(apply, None, p, None, origins, dirs,
+                          jax.random.PRNGKey(1), cfg, train=False,
+                          with_features=False)
+        assert out["rgb"].shape == (8, 3)
+        assert out["accumulation"].shape == (8,)
+        assert float(out["accumulation"].min()) >= 0
+        assert float(out["accumulation"].max()) <= 1 + 1e-5
+        assert np.isfinite(np.asarray(out["rgb"])).all()
+
+    def test_feature_rendering(self):
+        apply, p = self._setup()
+        feat = FeatureField(feature_dim=8)
+        fp = feat.init(jax.random.PRNGKey(2), jnp.zeros((4, 3)))
+        fapply = lambda pp, pts: feat.apply(pp, pts)
+        origins = jnp.zeros((4, 3)).at[:, 2].set(2.0)
+        dirs = jnp.zeros((4, 3)).at[:, 2].set(-1.0)
+        out = render_rays(apply, fapply, p, fp, origins, dirs,
+                          jax.random.PRNGKey(1), RenderConfig(16, 16),
+                          train=True, with_features=True)
+        assert out["feature"].shape == (4, 8)
+
+
+def make_synthetic_blender_dataset(root: Path, n_views=6, res=24):
+    """A red unit sphere at the origin rendered analytically."""
+    from PIL import Image
+
+    root.mkdir(parents=True, exist_ok=True)
+    frames = []
+    fov = 0.8
+    for i in range(n_views):
+        theta = 2 * np.pi * i / n_views
+        cam_pos = 2.0 * np.array([np.cos(theta), np.sin(theta), 0.4])
+        fwd = -cam_pos / np.linalg.norm(cam_pos)
+        right = np.cross(fwd, [0, 0, 1.0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, -fwd, cam_pos
+
+        fx = 0.5 * res / np.tan(0.5 * fov)
+        img = np.zeros((res, res, 3), np.float32)
+        for py in range(res):
+            for px in range(res):
+                d = np.array([(px + 0.5 - res / 2) / fx,
+                              -(py + 0.5 - res / 2) / fx, -1.0])
+                d = c2w[:3, :3] @ d
+                d /= np.linalg.norm(d)
+                # ray-sphere intersection, radius 0.35
+                b = 2 * np.dot(cam_pos, d)
+                c = np.dot(cam_pos, cam_pos) - 0.35**2
+                disc = b * b - 4 * c
+                if disc > 0:
+                    img[py, px] = [0.9, 0.1, 0.1]
+        fname = f"r_{i}.png"
+        Image.fromarray((img * 255).astype(np.uint8)).save(root / fname)
+        frames.append({"file_path": fname, "transform_matrix": c2w.tolist()})
+    (root / "transforms.json").write_text(
+        json.dumps({"camera_angle_x": fov, "frames": frames})
+    )
+    return root
+
+
+class TestFieldTraining:
+    def test_short_training_reduces_loss(self, tmp_path):
+        from pixie_tpu.recon.field import RenderConfig
+        from pixie_tpu.recon.train_field import (
+            FieldTrainConfig,
+            load_field_checkpoint,
+            train_feature_field,
+        )
+
+        data = make_synthetic_blender_dataset(tmp_path / "data")
+        cfg = FieldTrainConfig(
+            max_iterations=30, rays_per_batch=256,
+            render=RenderConfig(n_coarse=16, n_fine=8),
+        )
+        import logging
+
+        records = []
+
+        class Capture(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        logging.getLogger().addHandler(Capture())
+        params = train_feature_field(
+            data, tmp_path / "out", cfg=cfg, log_every=29
+        )
+        assert (tmp_path / "out" / "checkpoints" / "field").exists()
+        restored = load_field_checkpoint(tmp_path / "out")
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_field_adapter_query_contract(self, tmp_path):
+        from pixie_tpu.recon.field_adapter import FieldAdapter
+
+        nerf = NerfField()
+        p = nerf.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.zeros((4, 3)), False)
+        adapter = FieldAdapter(p, None, feature_dim=4)
+        pts = np.random.default_rng(0).uniform(-0.5, 0.5, (10, 3)).astype(np.float32)
+        out = adapter.query(pts)
+        assert out["density"].shape == (10, 1)
+        assert np.isfinite(np.asarray(out["density"])).all()
+        rgb = adapter.get_rgb(pts)
+        assert rgb.shape == (10, 3)
+        alpha = adapter.get_alpha(pts, 1.0 / 64)
+        assert float(jnp.max(alpha)) <= 1.0
