@@ -1,0 +1,183 @@
+"""VLM labeling chain tests with the mock backend (offline-safe)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pixie_tpu.vlm_labeler.agent import Agent, AgentConfig, MockVLM, parse_json_block
+from pixie_tpu.vlm_labeler.stages import (
+    MathSamplerAgent,
+    SegmentationAgent,
+    SegmentationCriticAgent,
+    evaluate_constraint,
+    merge_best_query,
+    rejection_sample,
+)
+
+
+class TestParseJson:
+    def test_fenced_json(self):
+        out = parse_json_block('Here you go:\n```json\n{"a": 1}\n```\nthanks')
+        assert out == {"a": 1}
+
+    def test_nested_braces(self):
+        out = parse_json_block('{"a": {"b": [1, 2]}} trailing')
+        assert out == {"a": {"b": [1, 2]}}
+
+    def test_no_json_raises(self):
+        with pytest.raises(ValueError):
+            parse_json_block("no json here")
+
+
+SEG_RESPONSE = json.dumps({
+    "material_dict": {
+        "trunk": {"density": [300, 800], "E": [1e6, 1e8], "nu": [0.3, 0.4],
+                  "material_id": 0},
+        "leaves": {"density": [50, 200], "E": [1e4, 1e5], "nu": [0.25, 0.35],
+                   "material_id": 0},
+    },
+    "reasoning": "wood is stiffer than foliage",
+    "constraints": 'assert material_dict["trunk"]["E"] > material_dict["leaves"]["E"]',
+    "all_queries": [["tree trunk", "tree leaves"], ["bark", "foliage"]],
+})
+
+
+class TestSegmentationAgent:
+    def test_generates_and_caches(self, tmp_path):
+        backend = MockVLM([SEG_RESPONSE])
+        agent = SegmentationAgent(
+            AgentConfig("mock", str(tmp_path)), obj_class="tree", backend=backend
+        )
+        result = agent.generate_prediction(["<img>"])
+        assert "trunk" in result["material_dict"]
+        assert len(backend.calls) == 1
+        # cached: second call must not hit the backend
+        result2 = agent.generate_prediction(["<img>"])
+        assert len(backend.calls) == 1
+        assert result2 == result
+
+    def test_missing_keys_raise(self, tmp_path):
+        backend = MockVLM(['{"material_dict": {}}'])
+        agent = SegmentationAgent(
+            AgentConfig("mock", str(tmp_path)), obj_class="tree", backend=backend
+        )
+        with pytest.raises(ValueError, match="all_queries"):
+            agent.generate_prediction(["<img>"])
+
+    def test_system_instruction_mentions_class_and_materials(self, tmp_path):
+        agent = SegmentationAgent(
+            AgentConfig("mock", str(tmp_path)), obj_class="chair", backend=MockVLM()
+        )
+        assert "chair" in agent.system_instruction
+        assert "jelly" in agent.system_instruction
+        assert "stationary" in agent.system_instruction
+
+
+class TestSampler:
+    def test_constraint_evaluation(self):
+        md = {"a": {"E": 10}, "b": {"E": 5}}
+        assert evaluate_constraint(
+            'assert material_dict["a"]["E"] > material_dict["b"]["E"]', md
+        )
+        assert not evaluate_constraint(
+            'assert material_dict["a"]["E"] < material_dict["b"]["E"]', md
+        )
+        assert evaluate_constraint("```python\nassert True\n```", md)
+        assert evaluate_constraint("", md)  # empty constraints pass
+
+    def test_rejection_sampling_respects_ranges_and_constraints(self):
+        ranges = {
+            "hard": {"density": [500, 600], "E": [1e6, 1e7], "nu": [0.3, 0.4],
+                     "material_id": 1},
+            "soft": {"density": [100, 200], "E": [1e4, 1e5], "nu": [0.2, 0.3],
+                     "material_id": 0},
+        }
+        constraints = (
+            'assert material_dict["hard"]["E"] > material_dict["soft"]["E"]'
+        )
+        out = rejection_sample(ranges, constraints, seed=0)
+        hard, soft = out["material_dict"]["hard"], out["material_dict"]["soft"]
+        assert 500 <= hard["density"] <= 600
+        assert hard["E"] > soft["E"]
+        assert hard["material_id"] == 1
+        assert out["sampling_attempts"] >= 1
+
+    def test_impossible_constraints_raise(self):
+        ranges = {"x": {"density": [1, 2], "E": [1, 2], "nu": [0.1, 0.2],
+                        "material_id": 0}}
+        with pytest.raises(RuntimeError, match="Failed to find valid sample"):
+            rejection_sample(ranges, "assert False", max_attempts=5)
+
+    def test_sampler_agent_caches(self, tmp_path):
+        seg = json.loads(SEG_RESPONSE)
+        src = tmp_path / "seg.json"
+        src.write_text(json.dumps(seg))
+        agent = MathSamplerAgent(AgentConfig("mock", str(tmp_path / "s0")))
+        out1 = agent.generate_prediction(str(src), seed=0)
+        out2 = agent.generate_prediction(str(src), seed=1)  # cached
+        assert out1 == out2
+
+
+class TestMergeBestQuery:
+    def test_merge_renames_parts(self):
+        seg = json.loads(SEG_RESPONSE)
+        draw = rejection_sample(seg["material_dict"], seg["constraints"], seed=0)
+        merged = merge_best_query(draw, seg, 1)
+        assert set(merged["material_dict"].keys()) == {"bark", "foliage"}
+        assert merged["best_query"] == ["bark", "foliage"]
+
+    def test_length_mismatch_raises(self):
+        seg = json.loads(SEG_RESPONSE)
+        seg["all_queries"] = [["only_one"]]
+        draw = rejection_sample(seg["material_dict"], "", seed=0)
+        with pytest.raises(ValueError, match="terms"):
+            merge_best_query(draw, seg, 0)
+
+
+class TestClipSegmentation:
+    def test_text_query_segmentation_with_precomputed_embeddings(self, tmp_path, rng):
+        """Synthetic feature grid with two separable clusters."""
+        from pixie_tpu.voxel.segmentation import generate_material_segmentation
+        from pixie_tpu.utils.io import read_ply
+
+        d, c = 8, 6
+        feats = np.zeros((d, d, d, c), np.float16)
+        mask = np.zeros((d, d, d), np.float32)
+        # lower half: direction e0; upper half: direction e1
+        feats[:, :, : d // 2, 0] = 1.0
+        feats[:, :, d // 2 :, 1] = 1.0
+        mask[2:6, 2:6, :] = 1.0
+
+        base = tmp_path / "clip_features"
+        np.save(str(base) + "_features.npy", feats)
+        np.save(str(base) + "_mask.npy", mask)
+        np.savez(
+            str(base) + ".npz",
+            min_bounds=np.array([-0.5] * 3, np.float32),
+            max_bounds=np.array([0.5] * 3, np.float32),
+            grid_shape=np.array([d, d, d]),
+            voxel_size=np.float32(1.0 / d),
+        )
+
+        vlm_results = {
+            "material_dict": {
+                "bottom": {"density": 500.0, "E": 1e6, "nu": 0.3, "material_id": 1},
+                "top": {"density": 100.0, "E": 1e4, "nu": 0.25, "material_id": 0},
+            }
+        }
+        query_embs = np.eye(2, c, dtype=np.float32)  # e0 ~ bottom, e1 ~ top
+        out = generate_material_segmentation(
+            str(base) + ".npz", vlm_results, tmp_path / "seg_out",
+            query_embs=query_embs,
+        )
+        grid = np.load(out["material_grid"])
+        assert grid.shape == (d, d, d, 4)
+        # background voxels labeled 7
+        assert (grid[0, 0, 0, 3] == 7)
+        # bottom-half foreground -> material 1, top-half -> material 0
+        assert (grid[3, 3, 1, 3] == 1) and (grid[3, 3, 6, 3] == 0)
+        assert grid[3, 3, 1, 0] == 500.0
+        v = read_ply(out["ply"])["vertex"]
+        assert len(v) == int(mask.sum())
+        assert set(np.unique(v["material_id"])) <= {0, 1}
