@@ -1,0 +1,279 @@
+"""3D Gaussian Splatting training (the Inria train.py loop rebuilt).
+
+Reference: gaussian-splatting/train.py:31-160: per-iteration random camera,
+render, L1 + 0.2 * (1 - SSIM) loss, Adam with per-group learning rates,
+densify-and-prune every 100 iters between 500 and 15000 (split high-grad
+large gaussians / clone high-grad small ones, prune low-opacity), opacity
+reset every 3000 iterations.
+
+TPU notes: the jitted train step runs at a fixed gaussian capacity;
+densification/pruning happen host-side between steps and re-pad to the next
+power-of-two capacity (bounded number of recompiles).  Screen-space gradient
+accumulation uses the rasterizer's mean2d_offset hook instead of
+retain_grad.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pixie_tpu.recon import gaussians as G
+from pixie_tpu.recon.rasterizer import Camera, rasterize
+from pixie_tpu.recon.train_field import load_blender_dataset
+
+
+@dataclasses.dataclass
+class GSTrainConfig:
+    iterations: int = 10000
+    lr_xyz: float = 1.6e-4
+    lr_feature: float = 2.5e-3
+    lr_opacity: float = 0.05
+    lr_scaling: float = 5e-3
+    lr_rotation: float = 1e-3
+    lambda_dssim: float = 0.2
+    densify_from: int = 500
+    densify_until: int = 15000
+    densify_interval: int = 100
+    densify_grad_threshold: float = 2e-4
+    opacity_reset_interval: int = 3000
+    prune_opacity: float = 0.005
+    percent_dense: float = 0.01
+    sh_degree: int = 3
+    white_background: bool = False
+    seed: int = 0
+
+
+def ssim(img1, img2, window: int = 11, sigma: float = 1.5):
+    """Gaussian-windowed SSIM (utils/loss_utils.py ssim)."""
+    half = window // 2
+    x = jnp.arange(window, dtype=jnp.float32) - half
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    kern = g[:, None] * g[None, :]
+
+    def filt(img):
+        # depthwise 2D convolution per channel
+        out = jax.lax.conv_general_dilated(
+            img.transpose(2, 0, 1)[:, None],
+            kern[None, None],
+            (1, 1), "SAME",
+        )
+        return out[:, 0].transpose(1, 2, 0)
+
+    mu1, mu2 = filt(img1), filt(img2)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = filt(img1 * img1) - mu1_sq
+    s2 = filt(img2 * img2) - mu2_sq
+    s12 = filt(img1 * img2) - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    return jnp.mean(
+        ((2 * mu12 + c1) * (2 * s12 + c2))
+        / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+    )
+
+
+def blender_viewmat(c2w: np.ndarray) -> np.ndarray:
+    """Blender/NeRF c2w (look down -z, y up) -> COLMAP-style w2c with camera
+    looking down +z (as the rasterizer expects)."""
+    c2w = np.asarray(c2w, np.float32).copy()
+    c2w[:3, 1] *= -1  # y down
+    c2w[:3, 2] *= -1  # z forward
+    return np.linalg.inv(c2w).astype(np.float32)
+
+
+def pad_params(params, capacity: int):
+    n = params["xyz"].shape[0]
+    pad = capacity - n
+    if pad <= 0:
+        return params
+    out = {}
+    for k, v in params.items():
+        pad_block = np.zeros((pad, *np.asarray(v).shape[1:]), np.float32)
+        if k == "opacity":
+            pad_block = pad_block - 20.0  # sigmoid ~ 0: invisible padding
+        if k == "scaling":
+            pad_block = pad_block - 20.0  # exp ~ 0: degenerate size
+        if k == "rotation":
+            pad_block[:, 0] = 1.0
+        out[k] = jnp.concatenate([jnp.asarray(v), jnp.asarray(pad_block)], axis=0)
+    return out
+
+
+def make_optimizer(cfg: GSTrainConfig, spatial_scale: float):
+    lrs = {
+        "xyz": cfg.lr_xyz * spatial_scale,
+        "f_dc": cfg.lr_feature,
+        "f_rest": cfg.lr_feature / 20.0,
+        "opacity": cfg.lr_opacity,
+        "scaling": cfg.lr_scaling,
+        "rotation": cfg.lr_rotation,
+    }
+    return optax.multi_transform(
+        {k: optax.adam(lr, eps=1e-15) for k, lr in lrs.items()},
+        {k: k for k in lrs},
+    )
+
+
+def densify_and_prune(params, grad_accum, denom, cfg: GSTrainConfig,
+                      active_n: int, spatial_scale: float, rng):
+    """Host-side split/clone/prune (gaussian_model.py densify_and_prune)."""
+    p = {k: np.asarray(v)[:active_n] for k, v in params.items()}
+    grads = np.asarray(grad_accum)[:active_n] / np.maximum(
+        np.asarray(denom)[:active_n], 1
+    )
+    scales = np.exp(p["scaling"]).max(axis=1)
+    high_grad = grads >= cfg.densify_grad_threshold
+    big = scales > cfg.percent_dense * spatial_scale
+
+    clone_mask = high_grad & ~big
+    split_mask = high_grad & big
+    keep_opacity = 1.0 / (1.0 + np.exp(-p["opacity"][:, 0])) > cfg.prune_opacity
+
+    new_parts = []
+    # clones: copy as-is
+    if clone_mask.any():
+        new_parts.append({k: v[clone_mask] for k, v in p.items()})
+    # splits: two children sampled inside the parent, scale / 1.6
+    if split_mask.any():
+        parent = {k: v[split_mask] for k, v in p.items()}
+        for _ in range(2):
+            noise = rng.normal(size=parent["xyz"].shape).astype(np.float32)
+            child = {k: v.copy() for k, v in parent.items()}
+            child["xyz"] = parent["xyz"] + noise * np.exp(parent["scaling"])
+            child["scaling"] = parent["scaling"] - np.log(1.6)
+            new_parts.append(child)
+    keep = keep_opacity & ~split_mask  # split parents removed
+
+    merged = {k: v[keep] for k, v in p.items()}
+    for part in new_parts:
+        merged = {k: np.concatenate([merged[k], part[k]]) for k in merged}
+    return merged
+
+
+def train_gaussian_splatting(
+    data_dir: str | Path,
+    output_dir: str | Path,
+    iterations: int = 10000,
+    cfg: GSTrainConfig | None = None,
+    init_points: np.ndarray | None = None,
+    log_every: int = 1000,
+    image_downscale: int = 1,
+):
+    cfg = cfg or GSTrainConfig(iterations=iterations)
+    rng = np.random.default_rng(cfg.seed)
+    output_dir = Path(output_dir)
+
+    dataset = load_blender_dataset(data_dir)
+    images = dataset["images"]
+    if image_downscale > 1:
+        images = images[:, ::image_downscale, ::image_downscale]
+    h, w = images.shape[1:3]
+    fx, fy, cx, cy = (v / image_downscale for v in dataset["intrinsics"])
+    cam = Camera(h, w, fx, fy, cx, cy)
+    viewmats = np.stack([blender_viewmat(c) for c in dataset["c2w"]])
+    bg = 1.0 if cfg.white_background else 0.0
+
+    if init_points is None:
+        init_points = rng.uniform(-0.5, 0.5, (5000, 3)).astype(np.float32)
+    params_np = create_params = G.create_from_points(
+        init_points, sh_degree=cfg.sh_degree
+    )
+    spatial_scale = float(
+        np.linalg.norm(viewmats[:, :3, 3], axis=1).max()
+    ) or 1.0
+
+    def fresh_opt(params):
+        tx = make_optimizer(cfg, spatial_scale)
+        return tx, tx.init(params)
+
+    capacity = int(2 ** np.ceil(np.log2(init_points.shape[0] + 1)))
+    params = pad_params(params_np, capacity)
+    active_n = init_points.shape[0]
+    tx, opt_state = fresh_opt(params)
+
+    @jax.jit
+    def step(params, opt_state, viewmat, gt):
+        offset = jnp.zeros((params["xyz"].shape[0], 2))
+
+        def loss_fn(params, offset):
+            img, _ = rasterize(params, viewmat, cam, bg_color=bg,
+                               mean2d_offset=offset)
+            l1 = jnp.abs(img - gt).mean()
+            loss = (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * (
+                1.0 - ssim(img, gt)
+            )
+            return loss, l1
+
+        (loss, l1), (grads, ograds) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, offset)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        screen_grad = jnp.linalg.norm(ograds, axis=-1)
+        return params, opt_state, loss, l1, screen_grad
+
+    grad_accum = np.zeros(capacity, np.float32)
+    denom = np.zeros(capacity, np.float32)
+    t0 = time.time()
+    for it in range(1, cfg.iterations + 1):
+        vi = int(rng.integers(len(viewmats)))
+        params, opt_state, loss, l1, screen_grad = step(
+            params, opt_state, jnp.asarray(viewmats[vi]), jnp.asarray(images[vi])
+        )
+        sg = np.asarray(screen_grad)
+        seen = sg > 0
+        grad_accum[seen] += sg[seen]
+        denom[seen] += 1
+
+        in_densify = cfg.densify_from <= it < cfg.densify_until
+        if in_densify and it % cfg.densify_interval == 0:
+            merged = densify_and_prune(
+                params, grad_accum, denom, cfg, active_n, spatial_scale, rng
+            )
+            active_n = len(merged["xyz"])
+            new_capacity = int(2 ** np.ceil(np.log2(max(active_n, 2))))
+            capacity = max(capacity, new_capacity)
+            params = pad_params(
+                {k: jnp.asarray(v) for k, v in merged.items()}, capacity
+            )
+            tx, opt_state = fresh_opt(params)
+            grad_accum = np.zeros(capacity, np.float32)
+            denom = np.zeros(capacity, np.float32)
+
+        if it % cfg.opacity_reset_interval == 0:
+            o = np.asarray(params["opacity"])
+            o[:active_n] = np.minimum(o[:active_n], G.inverse_sigmoid(0.01))
+            params = {**params, "opacity": jnp.asarray(o)}
+            tx, opt_state = fresh_opt(params)
+
+        if it % log_every == 0:
+            logging.info(
+                "gs iter %d loss %.4f l1 %.4f gaussians %d (%.1fs)",
+                it, float(loss), float(l1), active_n, time.time() - t0,
+            )
+
+    out = output_dir / "point_cloud" / f"iteration_{cfg.iterations}"
+    out.mkdir(parents=True, exist_ok=True)
+    final = {k: np.asarray(v)[:active_n] for k, v in params.items()}
+    G.save_gaussian_ply(out / "point_cloud.ply", final)
+    logging.info("saved %d gaussians to %s", active_n, out)
+    return final
+
+
+def search_for_max_iteration(point_cloud_dir: str | Path) -> int:
+    """searchForMaxIteration (gs_simulation.py:215-227)."""
+    best = -1
+    for p in Path(point_cloud_dir).glob("iteration_*"):
+        try:
+            best = max(best, int(p.name.split("_")[1]))
+        except (IndexError, ValueError):
+            continue
+    return best

@@ -1,0 +1,126 @@
+"""3DGS tests: model math, PLY round trip, rasterizer, short training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixie_tpu.recon import gaussians as G
+from pixie_tpu.recon.rasterizer import Camera, project_gaussians, rasterize
+
+
+class TestModel:
+    def test_create_from_points_scale_init(self, rng):
+        pts = rng.uniform(-1, 1, (50, 3)).astype(np.float32)
+        p = G.create_from_points(pts)
+        assert p["xyz"].shape == (50, 3)
+        assert p["f_rest"].shape == (50, 15, 3)
+        # scale init: log of mean 3-NN distance -> finite, negative-ish
+        assert np.isfinite(np.asarray(p["scaling"])).all()
+        np.testing.assert_allclose(
+            np.asarray(G.get_opacity(p)), 0.1, atol=1e-5
+        )
+
+    def test_covariance_psd_and_scale(self):
+        p = G.create_from_points(np.zeros((1, 3), np.float32))
+        p["scaling"] = jnp.log(jnp.array([[0.1, 0.2, 0.3]]))
+        cov = np.asarray(G.get_covariance(p))[0]
+        eig = np.linalg.eigvalsh(cov)
+        np.testing.assert_allclose(np.sort(np.sqrt(eig)), [0.1, 0.2, 0.3], rtol=1e-5)
+
+    def test_ply_roundtrip(self, tmp_path, rng):
+        pts = rng.uniform(-1, 1, (20, 3)).astype(np.float32)
+        p = G.create_from_points(pts, colors=rng.uniform(0, 1, (20, 3)))
+        G.save_gaussian_ply(tmp_path / "pc.ply", p)
+        back = G.load_gaussian_ply(tmp_path / "pc.ply")
+        for k in p:
+            np.testing.assert_allclose(
+                np.asarray(back[k]), np.asarray(p[k]), atol=1e-6, err_msg=k
+            )
+
+    def test_eval_sh_dc_only(self):
+        sh = jnp.zeros((2, 16, 3)).at[:, 0, :].set(1.0)
+        rgb = G.eval_sh(sh, jnp.array([[0.0, 0, 1], [1.0, 0, 0]]), 3)
+        np.testing.assert_allclose(np.asarray(rgb), G.SH_C0 * 1.0 + 0.5, rtol=1e-6)
+
+
+class TestRasterizer:
+    def _camera_setup(self):
+        cam = Camera(32, 32, fx=32.0, fy=32.0, cx=16.0, cy=16.0)
+        viewmat = np.eye(4, dtype=np.float32)
+        viewmat[2, 3] = 2.0  # camera at z=-2 looking at origin (+z forward)
+        return cam, jnp.asarray(viewmat)
+
+    def test_projection_centers(self):
+        cam, viewmat = self._camera_setup()
+        p = G.create_from_points(np.zeros((1, 3), np.float32))
+        m2d, cov2d, depth, rgb, op = project_gaussians(p, viewmat, cam)
+        np.testing.assert_allclose(np.asarray(m2d)[0], [16.0, 16.0], atol=1e-4)
+        np.testing.assert_allclose(float(depth[0]), 2.0, atol=1e-5)
+
+    def test_render_red_blob_center(self):
+        cam, viewmat = self._camera_setup()
+        p = G.create_from_points(
+            np.zeros((1, 3), np.float32), colors=np.array([[1.0, 0.0, 0.0]])
+        )
+        p["scaling"] = jnp.full((1, 3), np.log(0.3))
+        p["opacity"] = jnp.full((1, 1), 10.0)  # sigmoid ~ 1
+        img, alpha = rasterize(p, viewmat, cam, bg_color=0.0)
+        img = np.asarray(img)
+        center = img[16, 16]
+        assert center[0] > 0.5 and center[0] > center[1] * 2
+        assert img[0, 0, 0] < 0.2  # corner mostly background
+        assert 0 <= float(alpha.max()) <= 1.0
+
+    def test_depth_ordering_occlusion(self):
+        """A near opaque red gaussian must occlude a far green one."""
+        cam, viewmat = self._camera_setup()
+        pts = np.array([[0, 0, 0.5], [0, 0, -0.5]], np.float32)  # z=2.5 / 1.5 cam depth
+        p = G.create_from_points(pts, colors=np.array([[0, 1.0, 0], [1.0, 0, 0]]))
+        p["scaling"] = jnp.full((2, 3), np.log(0.2))
+        p["opacity"] = jnp.full((2, 1), 10.0)
+        img, _ = rasterize(p, viewmat, cam, bg_color=0.0)
+        center = np.asarray(img)[16, 16]
+        assert center[0] > center[1]  # red (near) wins
+
+    def test_differentiable(self):
+        cam, viewmat = self._camera_setup()
+        p = G.create_from_points(np.zeros((2, 3), np.float32))
+
+        def loss(params):
+            img, _ = rasterize(params, viewmat, cam, bg_color=0.0)
+            return jnp.sum(img**2)
+
+        g = jax.grad(loss)(p)
+        total = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0
+
+
+class TestTraining:
+    def test_short_training_improves_loss(self, tmp_path):
+        from tests.test_recon import make_synthetic_blender_dataset
+        from pixie_tpu.recon.train_gaussians import (
+            GSTrainConfig,
+            train_gaussian_splatting,
+        )
+
+        data = make_synthetic_blender_dataset(tmp_path / "data", n_views=4, res=24)
+        cfg = GSTrainConfig(
+            iterations=20, densify_from=10_000,  # no densify in this short run
+            opacity_reset_interval=10_000, seed=0,
+        )
+        rng = np.random.default_rng(0)
+        init = rng.uniform(-0.4, 0.4, (300, 3)).astype(np.float32)
+        final = train_gaussian_splatting(
+            data, tmp_path / "out", cfg=cfg, init_points=init,
+        )
+        out = tmp_path / "out" / "point_cloud" / "iteration_20" / "point_cloud.ply"
+        assert out.exists()
+        assert len(final["xyz"]) == 300
+
+    def test_search_for_max_iteration(self, tmp_path):
+        from pixie_tpu.recon.train_gaussians import search_for_max_iteration
+
+        (tmp_path / "iteration_100").mkdir()
+        (tmp_path / "iteration_5000").mkdir()
+        assert search_for_max_iteration(tmp_path) == 5000
