@@ -60,11 +60,12 @@ def bench_unet(batch: int, iters: int, grid: int = 64, feat_ch: int = 768):
     return grids_per_sec
 
 
-def bench_mpm(n_particles: int, substeps: int, reps: int):
+def bench_mpm(n_particles: int, substeps: int, reps: int, fast: bool = True):
     import jax
     import jax.numpy as jnp
 
     from pixie_tpu.sim.solver import simulate_substeps
+    from pixie_tpu.sim.solver_fast import FastMPMSolver
     from pixie_tpu.sim.types import MPMConfig, finalize_mu_lam, make_state
 
     rng = np.random.default_rng(0)
@@ -75,11 +76,22 @@ def bench_mpm(n_particles: int, substeps: int, reps: int):
     )
     cfg = MPMConfig(n_grid=50, grid_lim=2.0, gravity=(0.0, 0.0, -9.8))
 
+    if fast:
+        solver = FastMPMSolver(st, cfg)
+        t0 = time.time()
+        solver.step_frame(substeps, 1e-4)
+        log(f"mpm (pallas tiled) compile+first: {time.time()-t0:.1f}s")
+        t0 = time.time()
+        for _ in range(reps):
+            solver.step_frame(substeps, 1e-4)
+        rate = substeps * reps / (time.time() - t0)
+        log(f"mpm: {rate:.0f} substeps/s @ {n_particles} particles (pallas)")
+        return rate
+
     t0 = time.time()
     out = simulate_substeps(st, cfg, (), jnp.float32(0.0), jnp.float32(1e-4), substeps)
     jax.block_until_ready(out.x)
     log(f"mpm compile+first: {time.time()-t0:.1f}s")
-
     t0 = time.time()
     for _ in range(reps):
         out = simulate_substeps(out, cfg, (), jnp.float32(0.0), jnp.float32(1e-4), substeps)
@@ -99,7 +111,7 @@ def main():
 
     if args.quick:
         unet_rate = bench_unet(batch=1, iters=2, grid=16, feat_ch=32)
-        mpm_rate = None if args.skip_mpm else bench_mpm(2000, 20, 2)
+        mpm_rate = None if args.skip_mpm else bench_mpm(2000, 20, 2, fast=False)
     else:
         unet_rate = bench_unet(batch=args.batch, iters=10)
         mpm_rate = None if args.skip_mpm else bench_mpm(args.particles, 100, 3)

@@ -65,25 +65,38 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float):
     order = np.argsort(tid, kind="stable")
     tid_sorted = tid[order]
 
-    uniq, counts = np.unique(tid_sorted, return_counts=True)
+    # every tile gets >= 1 block: a tile with no program writing its output
+    # window would leave that window uninitialized (the kernel accumulates
+    # in-place and only the first program of a tile zeroes the block)
+    counts = np.zeros(t ** 3, np.int64)
+    uniq, uniq_counts = np.unique(tid_sorted, return_counts=True)
+    counts[uniq] = uniq_counts
+    starts_src = np.zeros(t ** 3, np.int64)
+    starts_src[uniq] = np.cumsum(uniq_counts) - uniq_counts
     blocks_per_tile = np.maximum((counts + PBLK - 1) // PBLK, 1)
-    n_blocks = int(blocks_per_tile.sum())
+    n_real_blocks = int(blocks_per_tile.sum())
+    # bucket the block count so re-sorts reuse compiled programs; filler
+    # blocks extend the last tile (all-padding, accumulate zeros)
+    bucket = 128
+    n_blocks = int(-(-n_real_blocks // bucket) * bucket)
+    blocks_per_tile[t ** 3 - 1] += n_blocks - n_real_blocks
 
     perm = np.zeros(n_blocks * PBLK, np.int32)
     occupied = np.zeros(n_blocks * PBLK, np.float32)
     block_tile = np.zeros(n_blocks, np.int32)
 
-    src = 0
     blk = 0
-    for u, c, nb in zip(uniq, counts, blocks_per_tile):
-        for b in range(nb):
-            take = min(PBLK, c - b * PBLK)
+    for u in range(t ** 3):
+        c = counts[u]
+        src = starts_src[u]
+        for b in range(int(blocks_per_tile[u])):
+            take = int(min(PBLK, max(c - b * PBLK, 0)))
             s = blk * PBLK
-            perm[s : s + take] = order[src + b * PBLK : src + b * PBLK + take]
-            occupied[s : s + take] = 1.0
+            if take:
+                perm[s : s + take] = order[src + b * PBLK : src + b * PBLK + take]
+                occupied[s : s + take] = 1.0
             block_tile[blk] = u
             blk += 1
-        src += c
     tc_of = np.stack([block_tile // (t * t), (block_tile // t) % t, block_tile % t], -1)
     return {
         "perm": jnp.asarray(perm),

@@ -73,30 +73,60 @@ def _window_factors(u0, fx):
       X1 = sum_i w_i * onehot(u0+i), X2 = sum_i w_i*(i-fx)*onehot, X3 = sum_i dw_i*onehot
     (B-spline weights as in p2g_apic_with_stress, mpm_utils.py:342-358).
     """
-    iota = jax.lax.broadcasted_iota(jnp.float32, (u0.shape[0], WIN_S), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (u0.shape[0], WIN_S), 1)
+    u0i = u0.astype(jnp.int32)
     w = [0.5 * (1.5 - fx) ** 2, 0.75 - (fx - 1.0) ** 2, 0.5 * (fx - 0.5) ** 2]
     dw = [fx - 1.5, -2.0 * (fx - 1.0), fx - 0.5]
-    x1 = jnp.zeros_like(iota)
-    x2 = jnp.zeros_like(iota)
-    x3 = jnp.zeros_like(iota)
+    zero = jnp.zeros((u0.shape[0], WIN_S), jnp.float32)
+    x1 = zero
+    x2 = zero
+    x3 = zero
     for i in range(3):
-        hit = (iota == (u0 + i)[:, None]).astype(jnp.float32)
+        hit = (iota == (u0i + i)[:, None]).astype(jnp.float32)
         x1 = x1 + w[i][:, None] * hit
         x2 = x2 + (w[i] * (i - fx))[:, None] * hit
         x3 = x3 + dw[i][:, None] * hit
     return x1, x2, x3
 
 
-def _pairs(y_facs, z_facs):
-    """(PBLK,WIN_S) x-pair products -> (PBLK, WIN_S*WIN_S) maps for the five
-    needed (y,z) variant combinations: (1,1), (2,1), (1,2), (3,1), (1,3)."""
-    y1, y2, y3 = y_facs
-    z1, z2, z3 = z_facs
+def _pairs(u0y, fy, u0z, fz):
+    """Directly build the five (PBLK, WIN_S*WIN_S) (y,z) pair maps for variant
+    combinations (1,1), (2,1), (1,2), (3,1), (1,3).
 
-    def pair(a, b):
-        return (a[:, :, None] * b[:, None, :]).reshape(a.shape[0], WIN_S * WIN_S)
+    Constructed 256-wide with integer div/mod on a 2D iota — Mosaic does not
+    support the (P, 16, 16) -> (P, 256) vector reshape an outer-product
+    formulation would need.
+    """
+    n = u0y.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, WIN_S * WIN_S), 1)
+    cy = col >> 4  # WIN_S == 16
+    cz = col & (WIN_S - 1)
+    u0yi = u0y.astype(jnp.int32)[:, None]
+    u0zi = u0z.astype(jnp.int32)[:, None]
 
-    return pair(y1, z1), pair(y2, z1), pair(y1, z2), pair(y3, z1), pair(y1, z3)
+    wy = [0.5 * (1.5 - fy) ** 2, 0.75 - (fy - 1.0) ** 2, 0.5 * (fy - 0.5) ** 2]
+    dwy = [fy - 1.5, -2.0 * (fy - 1.0), fy - 0.5]
+    wz = [0.5 * (1.5 - fz) ** 2, 0.75 - (fz - 1.0) ** 2, 0.5 * (fz - 0.5) ** 2]
+    dwz = [fz - 1.5, -2.0 * (fz - 1.0), fz - 0.5]
+
+    zero = jnp.zeros((n, WIN_S * WIN_S), jnp.float32)
+    p11, p21, p12, p31, p13 = zero, zero, zero, zero, zero
+    for iy in range(3):
+        hy = cy == (u0yi + iy)
+        y1 = wy[iy]
+        y2 = wy[iy] * (iy - fy)
+        y3 = dwy[iy]
+        for iz in range(3):
+            m = jnp.where(hy & (cz == (u0zi + iz)), 1.0, 0.0)
+            z1 = wz[iz]
+            z2 = wz[iz] * (iz - fz)
+            z3 = dwz[iz]
+            p11 = p11 + (y1 * z1)[:, None] * m
+            p21 = p21 + (y2 * z1)[:, None] * m
+            p12 = p12 + (y1 * z2)[:, None] * m
+            p31 = p31 + (y3 * z1)[:, None] * m
+            p13 = p13 + (y1 * z3)[:, None] * m
+    return p11, p21, p12, p31, p13
 
 
 def _p2g_kernel(tile_ref, pdata_ref, out_ref):
@@ -110,9 +140,9 @@ def _p2g_kernel(tile_ref, pdata_ref, out_ref):
 
     d = pdata_ref[...]  # (PBLK, 32)
     x1, x2, x3 = _window_factors(d[:, _U0 + 0], d[:, _FX + 0])
-    y_facs = _window_factors(d[:, _U0 + 1], d[:, _FX + 1])
-    z_facs = _window_factors(d[:, _U0 + 2], d[:, _FX + 2])
-    p11, p21, p12, p31, p13 = _pairs(y_facs, z_facs)
+    p11, p21, p12, p31, p13 = _pairs(
+        d[:, _U0 + 1], d[:, _FX + 1], d[:, _U0 + 2], d[:, _FX + 2]
+    )
 
     m = d[:, _M]
     qa = d[:, _QA:_QA + 3]
@@ -174,9 +204,9 @@ def p2g_tiled(pdata, block_tile, n_tiles_total: int, interpret: bool = False):
 def _g2p_kernel(tile_ref, pdata_ref, win_ref, out_ref):
     d = pdata_ref[...]
     x1, x2, x3 = _window_factors(d[:, _U0 + 0], d[:, _FX + 0])
-    y_facs = _window_factors(d[:, _U0 + 1], d[:, _FX + 1])
-    z_facs = _window_factors(d[:, _U0 + 2], d[:, _FX + 2])
-    p11, p21, p12, p31, p13 = _pairs(y_facs, z_facs)
+    p11, p21, p12, p31, p13 = _pairs(
+        d[:, _U0 + 1], d[:, _FX + 1], d[:, _U0 + 2], d[:, _FX + 2]
+    )
 
     win = win_ref[0]  # (3*WIN_S, WIN_S^2)
 

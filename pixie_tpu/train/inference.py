@@ -105,6 +105,7 @@ def run_inference(
     batch_size: int = 4,
     indices=None,
     model_kwargs: dict | None = None,
+    obj_class_lookup=None,
 ) -> dict:
     """Full inference pass: per-object artifacts + metrics report."""
     output_dir = Path(output_dir)
@@ -166,6 +167,11 @@ def run_inference(
     (output_dir / "evaluated_obj_ids.json").write_text(
         json.dumps(sorted(per_object.keys()))
     )
+    if obj_class_lookup is not None:
+        per_class = generate_class_report(per_object, obj_class_lookup)
+        (output_dir / "per_class_metrics.json").write_text(
+            json.dumps(per_class, indent=2)
+        )
     logging.info("Inference complete: %d objects -> %s", len(per_object), output_dir)
     return report
 
@@ -178,3 +184,17 @@ def generate_metrics_report(per_object: dict) -> dict:
         for k in keys:
             report[k] = mean_se_ci90(np.array([m[k] for m in per_object.values()]))
     return report
+
+
+def generate_class_report(per_object: dict, obj_class_lookup) -> dict:
+    """Per-class metric tables (generate_class_table, pixie/metrics.py:226)."""
+    by_class: dict[str, list] = {}
+    for obj_id, m in per_object.items():
+        by_class.setdefault(obj_class_lookup(obj_id) or "unknown", []).append(m)
+    out = {}
+    for cls, ms in sorted(by_class.items()):
+        entry = {"n_objects": len(ms)}
+        for k in ms[0]:
+            entry[k] = mean_se_ci90(np.array([m[k] for m in ms]))
+        out[cls] = entry
+    return out

@@ -1,0 +1,154 @@
+"""Output-rendering orchestrator (reference render.py:1-313 rebuilt).
+
+Modes (render.modes):
+  nerf     — render field test views (replaces `ns-render`)
+  gs       — render 3DGS checkpoint test views (our rasterizer, no Blender)
+  sim      — render simulated frame PLYs as point-cloud images
+  blender_glb / blender_gs — external Blender paths, gated on the binary.
+
+Usage: python render.py obj_id=... +render_modes='[nerf,gs]'
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from pixie_tpu.config import compose
+from pixie_tpu.utils.paths import get_output_paths, resolve_paths
+
+
+def render_nerf_views(cfg, paths, n_views: int = 8, res: int = 256):
+    """Orbit renders of the trained field (render.py:45-198 equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixie_tpu.recon.field import RenderConfig, render_rays
+    from pixie_tpu.recon.field_adapter import load_field_adapter
+
+    adapter = load_field_adapter(paths["nerf_output"])
+    out_dir = Path(paths["render_output"]) / "nerf_views"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    rcfg = RenderConfig(n_coarse=48, n_fine=48)
+    for vi in range(n_views):
+        theta = 2 * np.pi * vi / n_views
+        cam_pos = 1.5 * np.array([np.cos(theta), np.sin(theta), 0.4], np.float32)
+        fwd = -cam_pos / np.linalg.norm(cam_pos)
+        right = np.cross(fwd, [0, 0, 1.0]); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        fx = 0.5 * res / np.tan(0.4)
+        ys, xs = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+        d = np.stack([(xs + 0.5 - res / 2) / fx, -(ys + 0.5 - res / 2) / fx,
+                      -np.ones_like(xs, np.float32)], -1)
+        dirs = d @ np.stack([right, up, -fwd], 0)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        origins = np.broadcast_to(cam_pos, dirs.shape).reshape(-1, 3)
+        out = render_rays(
+            lambda p, pts, dd, donly: adapter.nerf.apply(p, pts, dd, donly),
+            None, adapter.nerf_params, None,
+            jnp.asarray(origins), jnp.asarray(dirs.reshape(-1, 3)),
+            jax.random.PRNGKey(0), rcfg, train=False, with_features=False,
+        )
+        img = np.asarray(out["rgb"]).reshape(res, res, 3)
+        _save_png(out_dir / f"view_{vi:03d}.png", img)
+    logging.info("nerf views -> %s", out_dir)
+    return out_dir
+
+
+def render_gs_views(cfg, paths, n_views: int = 8, res: int = 256):
+    """Rasterize the 3DGS checkpoint from orbit cameras (render.py:260-313)."""
+    import jax.numpy as jnp
+
+    from pixie_tpu.recon.gaussians import load_gaussian_ply
+    from pixie_tpu.recon.rasterizer import Camera, rasterize
+    from pixie_tpu.recon.train_gaussians import search_for_max_iteration
+
+    pc_dir = Path(paths["gs_output"]) / "point_cloud"
+    it = search_for_max_iteration(pc_dir)
+    params = load_gaussian_ply(pc_dir / f"iteration_{it}" / "point_cloud.ply")
+    out_dir = Path(paths["render_output"]) / "gs_views"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cam = Camera(res, res, fx=res / 1.2, fy=res / 1.2, cx=res / 2, cy=res / 2)
+
+    for vi in range(n_views):
+        theta = 2 * np.pi * vi / n_views
+        cam_pos = 1.8 * np.array([np.cos(theta), np.sin(theta), 0.4], np.float32)
+        fwd = -cam_pos / np.linalg.norm(cam_pos)
+        right = np.cross(fwd, [0, 0, 1.0]); right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, -up, fwd, cam_pos
+        viewmat = np.linalg.inv(c2w).astype(np.float32)
+        img, _ = rasterize(params, jnp.asarray(viewmat), cam,
+                           bg_color=1.0 if cfg.physics.white_bg else 0.0)
+        _save_png(out_dir / f"view_{vi:03d}.png", np.asarray(img))
+    logging.info("gs views -> %s", out_dir)
+    return out_dir
+
+
+def render_sim_frames(cfg, paths, res: int = 512):
+    """Orthographic point scatter of simulated frame PLYs + video."""
+    from pixie_tpu.utils.io import read_ply
+    from pixie_tpu.utils.viz import render_pointcloud_image, compile_video
+
+    sim_dir = Path(paths["physgaussian_output"]) / f"sample_{cfg.physics.sample_id}"
+    ply_dir = sim_dir / "ply_files"
+    out_dir = sim_dir / "frames"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    frames = sorted(ply_dir.glob("frame_*.ply"))
+    for f in frames:
+        v = read_ply(f)["vertex"]
+        img = render_pointcloud_image(
+            np.column_stack([v["x"], v["y"], v["z"]]),
+            labels=np.asarray(v["material_id"]), res=res,
+        )
+        _save_png(out_dir / (f.stem + ".png"), img)
+    if cfg.physics.compile_video and frames:
+        compile_video(out_dir, sim_dir / "simulation.mp4",
+                      fps=cfg.output_rendering.fps)
+    logging.info("sim frames -> %s", out_dir)
+    return out_dir
+
+
+def _save_png(path, img):
+    from PIL import Image
+
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    overrides = list(sys.argv[1:] if argv is None else argv)
+    cfg = compose(overrides=overrides)
+    if not cfg.obj_id:
+        raise ValueError("obj_id is required")
+    cfg = resolve_paths(cfg)
+    paths = get_output_paths(cfg, cfg.obj_id)
+    modes = cfg.get("render_modes", cfg.output_rendering.render_modes)
+
+    for mode in modes:
+        if mode == "nerf":
+            render_nerf_views(cfg, paths)
+        elif mode == "gs":
+            render_gs_views(cfg, paths)
+        elif mode == "sim":
+            render_sim_frames(cfg, paths)
+        elif mode in ("blender_glb", "blender_gs"):
+            if shutil.which(str(cfg.paths.get("blender_path", "blender"))) is None:
+                logging.warning("blender not found; skipping %s", mode)
+            else:
+                raise NotImplementedError(
+                    "external Blender rendering: use the reference blender "
+                    "scripts against the artifacts this pipeline produces"
+                )
+        else:
+            raise ValueError(f"unknown render mode {mode!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Aux subsystem tests: inspect_ranges, per-class metrics, viz, curation."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+class TestInspectRanges:
+    def test_computes_ranges_and_flags_problematic(self, tmp_path, rng):
+        from pixie_tpu.train.inspect_ranges import compute_normalization_ranges
+
+        root = tmp_path / "render_outputs"
+        d = 8
+        for i in range(3):
+            obj = root / f"obj{i}" / "sample_0"
+            obj.mkdir(parents=True)
+            mask = rng.uniform(size=(d, d, d)) < 0.5
+            mat = np.zeros((d, d, d, 4), np.float32)
+            mat[..., 3] = 7
+            mat[mask, 0] = 10 ** rng.uniform(2, 3.5, mask.sum())
+            mat[mask, 1] = 10 ** rng.uniform(4, 9, mask.sum())
+            mat[mask, 2] = rng.uniform(0.25, 0.42, mask.sum())
+            mat[mask, 3] = 0
+            np.save(obj / "material_grid.npy", mat)
+        # one problematic object: zero density in fg
+        bad = root / "objbad" / "sample_0"
+        bad.mkdir(parents=True)
+        mat = np.zeros((d, d, d, 4), np.float32)
+        mat[..., 3] = 7
+        mat[0, 0, 0, 3] = 0  # fg voxel with density 0
+        np.save(bad / "material_grid.npy", mat)
+
+        ranges, problematic = compute_normalization_ranges(
+            root, tmp_path / "stats", workers=1
+        )
+        assert problematic == ["objbad"]
+        assert 2.0 <= ranges["density_p1"] <= ranges["density_p99"] <= 3.5
+        assert (tmp_path / "stats" / "normalization_ranges.yaml").exists()
+        # loader round trip
+        from pixie_tpu.utils.norm import load_normalization_ranges
+
+        r = load_normalization_ranges(tmp_path / "stats" / "normalization_ranges.yaml")
+        assert abs(r.density_min - ranges["density_p1"]) < 1e-9
+
+
+class TestPerClassMetrics:
+    def test_class_report(self):
+        from pixie_tpu.train.inference import generate_class_report
+
+        per_object = {
+            "a1": {"seg_acc": 0.9, "cont_mse": 0.1},
+            "a2": {"seg_acc": 0.8, "cont_mse": 0.2},
+            "b1": {"seg_acc": 0.5, "cont_mse": 0.4},
+        }
+        lookup = lambda oid: "trees" if oid.startswith("a") else "chairs"
+        rep = generate_class_report(per_object, lookup)
+        assert rep["trees"]["n_objects"] == 2
+        np.testing.assert_allclose(rep["trees"]["seg_acc"]["mean"], 0.85)
+        assert rep["chairs"]["seg_acc"]["n"] == 1
+
+
+class TestViz:
+    def test_pointcloud_image(self, rng):
+        from pixie_tpu.utils.viz import render_pointcloud_image
+
+        pts = rng.normal(size=(500, 3)).astype(np.float32)
+        labels = rng.integers(0, 7, 500)
+        img = render_pointcloud_image(pts, labels=labels, res=64)
+        assert img.shape == (64, 64, 3)
+        assert img.min() >= 0 and img.max() <= 1
+        # some pixels must be colored (not all background)
+        assert (img != 1.0).any()
+
+    def test_empty_cloud(self):
+        from pixie_tpu.utils.viz import render_pointcloud_image
+
+        img = render_pointcloud_image(np.zeros((0, 3)), res=32)
+        assert (img == 1.0).all()
+
+
+class TestCuration:
+    def test_similarity_selection_with_injected_embeddings(self):
+        from pixie_tpu.data_curation.curation import select_top_objects_by_similarity
+
+        vocab = {
+            "tree": [1.0, 0.0], "oak tree": [0.9, 0.1], "metal box": [0.0, 1.0],
+            "steel crate": [0.1, 0.9],
+        }
+        names = {"u1": "tree", "u2": "oak tree", "u3": "metal box",
+                 "u4": "steel crate"}
+        classes = {"trees": [1.0, 0.0], "metal_crates": [0.0, 1.0]}
+
+        def embed(texts):
+            table = {**vocab, "trees": classes["trees"],
+                     "metal_crates": classes["metal_crates"]}
+            return np.array([table[t] for t in texts], np.float32)
+
+        cat = select_top_objects_by_similarity(names, list(classes), top_k=2,
+                                               embed_fn=embed)
+        assert cat["trees"] == ["u1", "u2"]
+        assert cat["metal_crates"] == ["u3", "u4"]
+
+    def test_obj_metadata_lookup(self, tmp_path):
+        from pixie_tpu.data_curation.curation import (
+            get_obj_class_for_id,
+            load_obj_metadata,
+        )
+
+        meta = {"abc": {"obj_class": "trees"}, "def": {"obj_class": "chairs"}}
+        p = tmp_path / "meta.json"
+        p.write_text(json.dumps(meta))
+        loaded = load_obj_metadata(p)
+        assert get_obj_class_for_id("abc", loaded) == "trees"
+        assert get_obj_class_for_id("zzz", loaded) is None
