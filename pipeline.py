@@ -61,13 +61,26 @@ def render_blender_images(cfg, paths):
     if stage_done(data_dir / "transforms.json") and not cfg.overwrite:
         logging.info("[blender] transforms.json exists, skipping")
         return
-    if shutil.which(str(cfg.paths.get("blender_path", "blender"))) is None:
+    blender = str(cfg.paths.get("blender_path", "blender"))
+    if shutil.which(blender) is None:
         logging.warning("[blender] blender binary not found; skipping render stage")
         return
-    raise NotImplementedError(
-        "Blender rendering shells out to pixie_tpu/blender scripts; run the "
-        "reference blender stage or provide pre-rendered data."
+    from pixie_tpu.utils.proc import run_cmd  # noqa: PLC0415
+
+    glbs = list(Path(data_dir).glob("*.glb")) or list(
+        Path(cfg.paths.data_dir).glob(f"{cfg.obj_id}*.glb")
     )
+    if not glbs:
+        raise FileNotFoundError(f"no GLB asset found for {cfg.obj_id} under {data_dir}")
+    run_cmd([
+        blender, "--background", "--python",
+        "pixie_tpu/blender/generate_blendernerf_data.py", "--",
+        "--glb", str(glbs[0]), "--out", str(data_dir),
+        "--num-views", str(cfg.data_rendering.num_views),
+        "--dist-min", str(cfg.data_rendering.camera_dist_min),
+        "--dist-max", str(cfg.data_rendering.camera_dist_max),
+        "--resolution", str(cfg.data_rendering.resolution),
+    ])
 
 
 def train_nerf(cfg, paths):

@@ -36,6 +36,7 @@ def run_simulation(
     save_ply: bool = True,
     particle_volume: float | None = None,
     debug: bool = False,
+    use_fast_solver: bool = True,
 ) -> dict:
     """End-to-end rollout; returns timing/diagnostic info."""
     output_dir = Path(output_dir)
@@ -121,6 +122,14 @@ def run_simulation(
     frame_num = int(n_frames if n_frames is not None else time_params["frame_num"])
     steps_per_frame = max(int(round(frame_dt / substep_dt)), 1)
 
+    if use_fast_solver:
+        from pixie_tpu.sim.solver_fast import FastMPMSolver  # noqa: PLC0415
+
+        fast = FastMPMSolver(solver.state, solver.cfg, tuple(solver.bcs))
+        stepper = fast
+    else:
+        stepper = solver
+
     ply_dir = output_dir / "ply_files"
     if save_ply:
         ply_dir.mkdir(exist_ok=True)
@@ -128,8 +137,8 @@ def run_simulation(
     frame_times = []
     for frame in range(frame_num):
         t0 = time.time()
-        solver.step_frame(steps_per_frame, substep_dt)
-        x_mpm = solver.export_particle_x()
+        stepper.step_frame(steps_per_frame, substep_dt)
+        x_mpm = np.asarray(stepper.state.x)
         frame_times.append(time.time() - t0)
 
         if save_ply:
@@ -143,10 +152,10 @@ def run_simulation(
             )
             v = make_material_vertex(
                 coords=x_world,
-                density=np.asarray(solver.state.density),
-                E=np.asarray(solver.state.E),
-                nu=np.asarray(solver.state.nu),
-                material_id=np.asarray(solver.state.material),
+                density=np.asarray(stepper.state.density),
+                E=np.asarray(stepper.state.E),
+                nu=np.asarray(stepper.state.nu),
+                material_id=np.asarray(stepper.state.material),
                 conf=conf,
             )
             write_ply(ply_dir / f"frame_{frame:04d}.ply", v)
@@ -165,6 +174,7 @@ def run_simulation(
             steps_per_frame / float(np.median(frame_times)) if frame_times else None
         ),
         "active_materials": list(solver.cfg.active_materials),
+        "solver": "pallas-tiled" if use_fast_solver else "xla-reference",
         "auto_bcs": auto_bcs,
     }
     (output_dir / "sim_info.json").write_text(json.dumps(info, indent=2))

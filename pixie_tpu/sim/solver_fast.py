@@ -197,15 +197,19 @@ class FastMPMSolver:
     """
 
     def __init__(self, state: MPMState, cfg: MPMConfig, bcs=(),
-                 interpret: bool = False):
+                 interpret: bool | None = None):
         self.cfg = cfg
         self.bcs = tuple(bcs)
         self.n_particles = state.n_particles
         self.time = 0.0
-        self.interpret = interpret
+        # Pallas TPU kernels need interpret mode on non-TPU backends
+        self.interpret = (
+            interpret if interpret is not None else jax.default_backend() != "tpu"
+        )
         self._compact_state = state
         self._layout = None
         self._padded = None
+        self._compact_dirty = False
 
     def _resort(self):
         x = np.asarray(self._compact_state.x)
@@ -213,9 +217,27 @@ class FastMPMSolver:
             x, self.cfg.n_grid, self.cfg.inv_dx
         )
         self._padded = pad_state_to_layout(self._compact_state, self._layout)
+        self._compact_dirty = False
+
+    def _needs_resort(self) -> bool:
+        """True when any occupied particle drifted beyond the +/-1 cell the
+        12-node windows absorb (u0 outside [0, WIN-3])."""
+        if self._padded is None:
+            return True
+        lay = self._layout
+        base = tiling.base_cell_of(self._padded.x, self.cfg.inv_dx)
+        u0 = base - jnp.repeat(lay["tile_coords"], tiling.PBLK, axis=0) * tiling.TILE + 1
+        occ = lay["occupied"] > 0
+        bad = jnp.any(occ[:, None] & ((u0 < 0) | (u0 > tiling.WIN - 3)))
+        return bool(bad)
 
     def step_frame(self, n_substeps: int, dt: float):
-        self._resort()
+        if self._needs_resort():
+            if self._padded is not None and self._compact_dirty:
+                self._compact_state = unpad_state(
+                    self._padded, self._layout, self.n_particles
+                )
+            self._resort()
         lay = self._layout
         self._padded = simulate_substeps_fast(
             self._padded, lay["block_tile"], lay["tile_coords"],
@@ -224,10 +246,13 @@ class FastMPMSolver:
             interpret=self.interpret,
         )
         self.time += n_substeps * dt
-        self._compact_state = unpad_state(
-            self._padded, self._layout, self.n_particles
-        )
+        self._compact_dirty = True
 
     @property
     def state(self) -> MPMState:
+        if self._compact_dirty:
+            self._compact_state = unpad_state(
+                self._padded, self._layout, self.n_particles
+            )
+            self._compact_dirty = False
         return self._compact_state
