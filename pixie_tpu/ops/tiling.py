@@ -153,3 +153,98 @@ def extract_windows(grid: jnp.ndarray, n_grid: int) -> jnp.ndarray:
                 ].reshape(t, TILE, t, TILE, t, TILE, c).transpose(0, 2, 4, 1, 3, 5, 6)
                 out = out.at[:, :, :, ax, :, ay, :, az, :, :].set(blk)
     return out.reshape(t, t, t, WIN_S, WIN_S, WIN_S, c)
+
+
+# ---------------------------------------------------------------------------
+# Blocked-grid combine/extract: the grid stays in tile-blocked layout
+# (t,t,t, TILE,TILE,TILE, C) through the whole substep, so merging windows
+# and re-extracting them is pure static slicing — no interleaving transposes
+# (measured ~5 ms/substep of reshape/copy fusions with the linear layout).
+# Window u maps to cell TILE*tw + u - 1: per axis a block coordinate b of
+# tile tx receives W[tx, b+1] + W[tx-1, b+1+TILE] (b <= TILE-2-? ) +
+# W[tx+1, 0] (b == TILE-1 only); 3^3 sliced terms total.
+# ---------------------------------------------------------------------------
+
+def combine_windows_blocked(windows: jnp.ndarray, ch_axis_len: int) -> jnp.ndarray:
+    """(t,t,t, C, WIN_S,WIN_S,WIN_S) windows -> blocked grid
+    (t,t,t, C, TILE,TILE,TILE).  Channel axis stays at position 3."""
+    t = windows.shape[0]
+    out = jnp.zeros((t, t, t, ch_axis_len, TILE, TILE, TILE), windows.dtype)
+
+    # per-axis source terms: (tile_shift, u_slice, b_slice)
+    terms = (
+        (0, slice(1, TILE + 1), slice(0, TILE)),          # own tile
+        (-1, slice(TILE + 1, 2 * TILE), slice(0, TILE - 1)),  # from prev tile
+        (1, slice(0, 1), slice(TILE - 1, TILE)),          # u=0 -> next tile's last b
+    )
+
+    def tile_slices(shift):
+        # B[dst] += W[src] with src tile = dst tile + shift
+        if shift == 0:
+            return slice(None), slice(None)
+        if shift == -1:  # W[tx-1] -> B[tx]: dst tx in [1, t), src in [0, t-1)
+            return slice(1, t), slice(0, t - 1)
+        return slice(0, t - 1), slice(1, t)  # W[tx+1] -> B[tx]
+
+    for sx, ux, bx in terms:
+        dx, wx = tile_slices(sx)
+        for sy, uy, by in terms:
+            dy, wy = tile_slices(sy)
+            for sz, uz, bz in terms:
+                dz, wz = tile_slices(sz)
+                out = out.at[dx, dy, dz, :, bx, by, bz].add(
+                    windows[wx, wy, wz, :, ux, uy, uz]
+                )
+    return out
+
+
+def extract_windows_blocked(grid_blocked: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint: blocked grid (t,t,t,C,TILE,TILE,TILE) -> windows
+    (t,t,t,C,WIN_S,WIN_S,WIN_S) with windows[tw, u] = cell TILE*tw + u - 1."""
+    t = grid_blocked.shape[0]
+    c = grid_blocked.shape[3]
+    out = jnp.zeros((t, t, t, c, WIN_S, WIN_S, WIN_S), grid_blocked.dtype)
+
+    terms = (
+        (0, slice(1, TILE + 1), slice(0, TILE)),
+        (-1, slice(TILE + 1, 2 * TILE), slice(0, TILE - 1)),
+        (1, slice(0, 1), slice(TILE - 1, TILE)),
+    )
+
+    def tile_slices(shift):
+        if shift == 0:
+            return slice(None), slice(None)
+        if shift == -1:  # windows[tx] read grid[tx-1... wait adjoint mapping
+            return slice(1, t), slice(0, t - 1)
+        return slice(0, t - 1), slice(1, t)
+
+    for sx, ux, bx in terms:
+        gx, wx = tile_slices(sx)
+        for sy, uy, by in terms:
+            gy, wy = tile_slices(sy)
+            for sz, uz, bz in terms:
+                gz, wz = tile_slices(sz)
+                out = out.at[wx, wy, wz, :, ux, uy, uz].set(
+                    grid_blocked[gx, gy, gz, :, bx, by, bz]
+                )
+    return out
+
+
+def blocked_to_linear(grid_blocked: jnp.ndarray, n_grid: int) -> jnp.ndarray:
+    """(t,t,t,C,8,8,8) -> (G,G,G,C) (for exports/tests; involves transposes —
+    not used in the hot loop)."""
+    t = grid_blocked.shape[0]
+    c = grid_blocked.shape[3]
+    g = grid_blocked.transpose(0, 4, 1, 5, 2, 6, 3).reshape(
+        t * TILE, t * TILE, t * TILE, c
+    )
+    return g[:n_grid, :n_grid, :n_grid]
+
+
+def linear_to_blocked(grid: jnp.ndarray, n_grid: int) -> jnp.ndarray:
+    t = n_tiles(n_grid)
+    c = grid.shape[-1]
+    g_pad = t * TILE
+    padded = jnp.zeros((g_pad, g_pad, g_pad, c), grid.dtype)
+    padded = padded.at[:n_grid, :n_grid, :n_grid].set(grid)
+    return padded.reshape(t, TILE, t, TILE, t, TILE, c).transpose(0, 2, 4, 6, 1, 3, 5)

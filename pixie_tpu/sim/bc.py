@@ -127,17 +127,19 @@ class BoundingBox:
     def apply(self, time, dt, grid_v, node_x, cfg):
         padding = 3
         n = cfg.n_grid
-        idx = jnp.arange(n)
+        # node indices from coordinates: shape-agnostic (works for both the
+        # linear (G,G,G,3) and tile-blocked layouts)
+        idx = jnp.round(node_x * cfg.inv_dx).astype(jnp.int32)
         low = idx < padding
         high = idx >= n - padding
 
         vx, vy, vz = grid_v[..., 0], grid_v[..., 1], grid_v[..., 2]
-        vx = jnp.where(low[:, None, None] & (vx < 0), 0.0, vx)
-        vx = jnp.where(high[:, None, None] & (vx > 0), 0.0, vx)
-        vy = jnp.where(low[None, :, None] & (vy < 0), 0.0, vy)
-        vy = jnp.where(high[None, :, None] & (vy > 0), 0.0, vy)
-        vz = jnp.where(low[None, None, :] & (vz < 0), 0.0, vz)
-        vz = jnp.where(high[None, None, :] & (vz > 0), 0.0, vz)
+        vx = jnp.where(low[..., 0] & (vx < 0), 0.0, vx)
+        vx = jnp.where(high[..., 0] & (vx > 0), 0.0, vx)
+        vy = jnp.where(low[..., 1] & (vy < 0), 0.0, vy)
+        vy = jnp.where(high[..., 1] & (vy > 0), 0.0, vy)
+        vz = jnp.where(low[..., 2] & (vz < 0), 0.0, vz)
+        vz = jnp.where(high[..., 2] & (vz > 0), 0.0, vz)
         out = jnp.stack([vx, vy, vz], axis=-1)
 
         active = (time >= self.start_time) & (time < self.end_time)

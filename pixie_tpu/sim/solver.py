@@ -128,14 +128,10 @@ def p2g(state: MPMState, cfg: MPMConfig, dt) -> jnp.ndarray:
     return grid.reshape(g, g, g, 4)
 
 
-def grid_update(grid, cfg: MPMConfig, dt, time, bcs: Sequence) -> jnp.ndarray:
-    """Momentum -> velocity, gravity, damping, grid BCs.
-
-    Mirrors grid_normalization_and_gravity (mpm_utils.py:398-409),
-    add_damping_via_grid (mpm_utils.py:583-588) and the grid_postprocess list
-    (mpm_solver_warp.py:604-621).
-    """
-    g = cfg.n_grid
+def grid_momentum_to_velocity(grid, cfg: MPMConfig, dt) -> jnp.ndarray:
+    """Momentum -> velocity + gravity + damping; channel-last, shape-agnostic
+    (grid_normalization_and_gravity, mpm_utils.py:398-409; damping
+    mpm_utils.py:583-588)."""
     m = grid[..., 3]
     mom = grid[..., :3]
     gravity = jnp.asarray(cfg.gravity, jnp.float32)
@@ -145,18 +141,30 @@ def grid_update(grid, cfg: MPMConfig, dt, time, bcs: Sequence) -> jnp.ndarray:
         mom / jnp.maximum(m, 1e-15)[..., None] + dt * gravity,
         0.0,
     )
-
     if cfg.grid_v_damping_scale < 1.0:
         v_out = v_out * cfg.grid_v_damping_scale
+    return v_out
 
+
+def apply_grid_bcs(v_out, node_x, cfg: MPMConfig, dt, time, bcs: Sequence):
+    """Grid BCs in insertion order; shape-agnostic over leading dims
+    (grid_postprocess list, mpm_solver_warp.py:604-621)."""
+    for b in bcs:
+        if isinstance(b, bc_mod.GRID_BC_TYPES):
+            v_out = b.apply(time, dt, v_out, node_x, cfg)
+    return v_out
+
+
+def grid_update(grid, cfg: MPMConfig, dt, time, bcs: Sequence) -> jnp.ndarray:
+    """Momentum -> velocity, gravity, damping, grid BCs on the linear grid."""
+    g = cfg.n_grid
+    v_out = grid_momentum_to_velocity(grid, cfg, dt)
     if any(isinstance(b, bc_mod.GRID_BC_TYPES) for b in bcs):
         idx = jnp.arange(g, dtype=jnp.float32) * cfg.dx
         node_x = jnp.stack(
             jnp.meshgrid(idx, idx, idx, indexing="ij"), axis=-1
         )  # (G,G,G,3)
-        for b in bcs:
-            if isinstance(b, bc_mod.GRID_BC_TYPES):
-                v_out = b.apply(time, dt, v_out, node_x, cfg)
+        v_out = apply_grid_bcs(v_out, node_x, cfg, dt, time, bcs)
     return v_out
 
 

@@ -24,7 +24,7 @@ from pixie_tpu.ops.tiling import PBLK, TILE, WIN_S
 from pixie_tpu.sim import bc as bc_mod
 from pixie_tpu.sim import mat3
 from pixie_tpu.sim.constitutive import compute_stress_from_F_trial
-from pixie_tpu.sim.solver import grid_update
+from pixie_tpu.sim.solver import apply_grid_bcs, grid_momentum_to_velocity, grid_update
 from pixie_tpu.sim.types import MPMConfig, MPMState
 
 
@@ -76,17 +76,36 @@ def _tile_coords_per_slot(layout):
 
 
 def windows_to_combine_layout(windows, t):
-    """(T3, 4*WIN_S, WIN_S^2) -> (t,t,t, WIN_S,WIN_S,WIN_S, 4)."""
+    """(T3, 4*WIN_S, WIN_S^2) -> (t,t,t, WIN_S,WIN_S,WIN_S, 4) (linear-path
+    helper, used by parity tests)."""
     w = windows.reshape(t, t, t, transfer.N_GRID_CH, WIN_S, WIN_S, WIN_S)
     return jnp.moveaxis(w, 3, -1)
 
 
 def grid_to_g2p_windows(grid_v, n_grid):
-    """(G,G,G,3) -> (T3, 3*WIN_S, WIN_S^2) for the G2P kernel."""
+    """(G,G,G,3) -> (T3, 3*WIN_S, WIN_S^2) for the G2P kernel (linear path)."""
     t = tiling.n_tiles(n_grid)
     wins = tiling.extract_windows(grid_v, n_grid)  # (t,t,t,16,16,16,3)
     w = jnp.moveaxis(wins, -1, 3)  # (t,t,t,3,16,16,16)
     return w.reshape(t * t * t, 3 * WIN_S, WIN_S * WIN_S)
+
+
+def _blocked_node_x(cfg: MPMConfig):
+    """(t,t,t,TILE,TILE,TILE,3) node coordinates (constant, folded by jit)."""
+    t = tiling.n_tiles(cfg.n_grid)
+    g_pad = t * TILE
+    idx = jnp.arange(g_pad, dtype=jnp.float32) * cfg.dx
+    node_x = jnp.stack(jnp.meshgrid(idx, idx, idx, indexing="ij"), axis=-1)
+    return node_x.reshape(t, TILE, t, TILE, t, TILE, 3).transpose(0, 2, 4, 1, 3, 5, 6)
+
+
+def _blocked_valid_mask(cfg: MPMConfig):
+    """1 for cells inside the n_grid domain, 0 for tile padding."""
+    t = tiling.n_tiles(cfg.n_grid)
+    g_pad = t * TILE
+    idx = jnp.arange(g_pad) < cfg.n_grid
+    m = idx[:, None, None] & idx[None, :, None] & idx[None, None, :]
+    return m.reshape(t, TILE, t, TILE, t, TILE).transpose(0, 2, 4, 1, 3, 5)
 
 
 def p2g2p_fast(state: MPMState, layout, cfg: MPMConfig, bcs, time, dt,
@@ -119,13 +138,22 @@ def p2g2p_fast(state: MPMState, layout, cfg: MPMConfig, bcs, time, dt,
     )
 
     windows = transfer.p2g_tiled(pdata, layout["block_tile"], t3, interpret=interpret)
-    grid = tiling.combine_windows(
-        windows_to_combine_layout(windows, t), cfg.n_grid, transfer.N_GRID_CH
+    # blocked-grid path: windows and grid stay tile-blocked, so combine and
+    # extract are pure static slicing (no interleaving transposes)
+    win_blocked = windows.reshape(
+        t, t, t, transfer.N_GRID_CH, WIN_S, WIN_S, WIN_S
     )
+    grid_blocked = tiling.combine_windows_blocked(win_blocked, transfer.N_GRID_CH)
 
-    grid_v = grid_update(grid, cfg, dt, time, bcs)
+    grid_cl = jnp.moveaxis(grid_blocked, 3, -1)  # channel-last (2MB, cheap)
+    grid_v = grid_momentum_to_velocity(grid_cl, cfg, dt)
+    if any(isinstance(b, bc_mod.GRID_BC_TYPES) for b in bcs):
+        grid_v = apply_grid_bcs(grid_v, _blocked_node_x(cfg), cfg, dt, time, bcs)
+    grid_v = grid_v * _blocked_valid_mask(cfg)[..., None]
 
-    g2p_wins = grid_to_g2p_windows(grid_v, cfg.n_grid)
+    g2p_wins = tiling.extract_windows_blocked(
+        jnp.moveaxis(grid_v, -1, 3)
+    ).reshape(t3, transfer.N_VEL_CH * WIN_S, WIN_S * WIN_S)
     out = transfer.g2p_tiled(pdata, g2p_wins, layout["block_tile"],
                              interpret=interpret)
 

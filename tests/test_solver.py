@@ -176,7 +176,8 @@ class TestBCs:
         bc = BoundingBox()
         g = 16
         cfg = MPMConfig(n_grid=g, grid_lim=2.0)
-        node_x = jnp.zeros((g, g, g, 3))
+        idx = jnp.arange(g, dtype=jnp.float32) * cfg.dx
+        node_x = jnp.stack(jnp.meshgrid(idx, idx, idx, indexing="ij"), axis=-1)
         v = jnp.full((g, g, g, 3), -1.0)  # all moving toward low faces
         out = np.asarray(bc.apply(jnp.float32(0.0), 1e-4, v, node_x, cfg))
         assert (out[:3, :, :, 0] == 0).all()       # low-x padding clamped
