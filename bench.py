@@ -1,10 +1,12 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.json): full neural-pipeline step throughput on one chip —
-U-Net voxel grids/sec (64^3 x 768 CLIP grid -> material fields) and MPM
-substeps/sec @100k particles.  The single JSON line reports the U-Net
-inference rate (the pipeline's central compute stage); auxiliary numbers are
-printed to stderr for tracking.
+Headline (BASELINE.json): U-Net voxel grids/sec (64^3 x 768 CLIP grid ->
+material fields) on one chip; auxiliary MPM substeps/sec on stderr.
+
+Measurement discipline (docs/DESIGN.md "Benchmarking traps"): this runtime
+both dedupes identical dispatches AND reports readiness early for some async
+dispatch chains, so every timed iteration (a) varies its inputs and (b) is
+forced by fetching a scalar VALUE to the host.
 
 Usage:  python bench.py [--quick] [--particles N] [--skip-mpm]
 """
@@ -36,27 +38,28 @@ def bench_unet(batch: int, iters: int, grid: int = 64, feat_ch: int = 768):
     x = jnp.zeros((batch, grid, grid, grid, feat_ch), jnp.bfloat16)
     seg_p = seg.init(rng, x)["params"]
     cont_p = cont.init(rng, x)["params"]
-    # distinct input buffers per iteration: this runtime caches identical
-    # dispatches, which silently invalidates repeated-same-input timing loops
-    keys = jax.random.split(rng, iters)
-    xs = [jax.random.normal(k, x.shape, x.dtype) for k in keys]
-    jax.block_until_ready(xs)
+    base = jax.random.normal(rng, x.shape, x.dtype)
 
     @jax.jit
-    def fwd(seg_p, cont_p, x):
-        return seg.apply({"params": seg_p}, x), cont.apply({"params": cont_p}, x)
+    def fwd(sp, cp, x, eps):
+        x = x + eps.astype(x.dtype)
+        seg_logits = seg.apply({"params": sp}, x)
+        cont_pred = cont.apply({"params": cp}, x)
+        # scalar probe: fetching its VALUE forces real completion
+        return jnp.float32(seg_logits.mean()) + jnp.float32(cont_pred.mean())
 
     t0 = time.time()
-    out = fwd(seg_p, cont_p, xs[0])
-    jax.block_until_ready(out)
+    float(fwd(seg_p, cont_p, base, jnp.float32(0.0)))
     log(f"unet compile+first: {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    outs = [fwd(seg_p, cont_p, xi) for xi in xs]
-    jax.block_until_ready(outs)
+    acc = 0.0
+    for i in range(iters):
+        acc += float(fwd(seg_p, cont_p, base, jnp.float32(1e-6 * (i + 1))))
     dt = (time.time() - t0) / iters
     grids_per_sec = batch / dt
-    log(f"unet: {dt*1e3:.1f}ms/batch{batch} = {grids_per_sec:.2f} grids/s")
+    log(f"unet: {dt*1e3:.1f}ms/batch{batch} = {grids_per_sec:.2f} grids/s "
+        f"(probe {acc:.3f})")
     return grids_per_sec
 
 
@@ -78,25 +81,41 @@ def bench_mpm(n_particles: int, substeps: int, reps: int, fast: bool = True):
 
     if fast:
         solver = FastMPMSolver(st, cfg)
+
+        def force():
+            return float(jnp.sum(solver._padded.x))
+
         t0 = time.time()
         solver.step_frame(substeps, 1e-4)
+        force()
         log(f"mpm (pallas tiled) compile+first: {time.time()-t0:.1f}s")
-        t0 = time.time()
-        for _ in range(reps):
+        # warm: absorb resort-induced shape recompiles before timing
+        for _ in range(2):
             solver.step_frame(substeps, 1e-4)
-        rate = substeps * reps / (time.time() - t0)
-        log(f"mpm: {rate:.0f} substeps/s @ {n_particles} particles (pallas)")
+            force()
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            solver.step_frame(substeps, 1e-4)
+            force()
+            times.append(time.time() - t0)
+        rate = substeps / float(np.median(times))
+        log(f"mpm: {rate:.0f} substeps/s @ {n_particles} particles (pallas, "
+            f"median of {reps})")
         return rate
 
     t0 = time.time()
     out = simulate_substeps(st, cfg, (), jnp.float32(0.0), jnp.float32(1e-4), substeps)
-    jax.block_until_ready(out.x)
+    float(jnp.sum(out.x))
     log(f"mpm compile+first: {time.time()-t0:.1f}s")
-    t0 = time.time()
+    times = []
     for _ in range(reps):
-        out = simulate_substeps(out, cfg, (), jnp.float32(0.0), jnp.float32(1e-4), substeps)
-    jax.block_until_ready(out.x)
-    rate = substeps * reps / (time.time() - t0)
+        t0 = time.time()
+        out = simulate_substeps(out, cfg, (), jnp.float32(0.0), jnp.float32(1e-4),
+                                substeps)
+        float(jnp.sum(out.x))
+        times.append(time.time() - t0)
+    rate = substeps / float(np.median(times))
     log(f"mpm: {rate:.0f} substeps/s @ {n_particles} particles")
     return rate
 
@@ -113,16 +132,15 @@ def main():
         unet_rate = bench_unet(batch=1, iters=2, grid=16, feat_ch=32)
         mpm_rate = None if args.skip_mpm else bench_mpm(2000, 20, 2, fast=False)
     else:
-        unet_rate = bench_unet(batch=args.batch, iters=10)
-        mpm_rate = None if args.skip_mpm else bench_mpm(args.particles, 100, 3)
+        unet_rate = bench_unet(batch=args.batch, iters=5)
+        mpm_rate = None if args.skip_mpm else bench_mpm(args.particles, 100, 5)
 
     if mpm_rate is not None:
         log(f"aux: mpm_substeps_per_s={mpm_rate:.1f}")
 
-    # Reference baseline: no published numbers exist (BASELINE.md) — the
-    # reference's inference_combined on A100 processes ~O(10) grids/s;
-    # vs_baseline is reported as a ratio against a 10 grids/s placeholder
-    # until the driver records a measured reference number.
+    # Reference baseline: no published numbers exist (BASELINE.md); ratio is
+    # against a 10 grids/s placeholder until the driver measures the
+    # reference's inference_combined on its own hardware.
     baseline_grids_per_sec = 10.0
     print(
         json.dumps(
