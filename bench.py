@@ -32,8 +32,10 @@ def bench_unet(batch: int, iters: int, grid: int = 64, feat_ch: int = 768):
 
     from pixie_tpu.models.unet3d import RegressionUNet, SegmentationUNet
 
-    seg = SegmentationUNet(feature_channels=feat_ch, grid_size=grid)
-    cont = RegressionUNet(feature_channels=feat_ch, grid_size=grid)
+    seg = SegmentationUNet(feature_channels=feat_ch, grid_size=grid,
+                           dtype=jnp.bfloat16)
+    cont = RegressionUNet(feature_channels=feat_ch, grid_size=grid,
+                          dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, grid, grid, grid, feat_ch), jnp.bfloat16)
     seg_p = seg.init(rng, x)["params"]

@@ -60,7 +60,7 @@ class SpatialLayerNorm(nn.Module):
         return xn * weight[None, :, :, :, None] + bias[None, :, :, :, None]
 
 
-def conv3(features, kernel=3, strides=1, zero_init=False, name=None):
+def conv3(features, kernel=3, strides=1, zero_init=False, name=None, dtype=None):
     return nn.Conv(
         features,
         kernel_size=(kernel, kernel, kernel),
@@ -68,6 +68,7 @@ def conv3(features, kernel=3, strides=1, zero_init=False, name=None):
         padding=[(kernel // 2,) * 2] * 3,
         kernel_init=nn.initializers.zeros if zero_init else nn.initializers.lecun_normal(),
         bias_init=nn.initializers.zeros,
+        dtype=dtype,
         name=name,
     )
 
@@ -79,25 +80,28 @@ class MyResBlock(nn.Module):
     sp: int
     dropout: float = 0.0
     use_conv_skip: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         in_ch = x.shape[-1]
         h = SpatialLayerNorm(self.sp, name="in_norm")(x)
         h = leaky_relu_002(h)
-        h = conv3(self.out_channels, name="in_conv")(h)
+        h = conv3(self.out_channels, name="in_conv", dtype=self.dtype)(h)
         h = SpatialLayerNorm(self.sp, name="out_norm")(h)
         h = leaky_relu_002(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv3(self.out_channels, zero_init=True, name="out_conv")(h)
+        h = conv3(self.out_channels, zero_init=True, name="out_conv",
+                  dtype=self.dtype)(h)
 
         if in_ch == self.out_channels:
             skip = x
         elif self.use_conv_skip:
-            skip = conv3(self.out_channels, name="skip_conv")(x)
+            skip = conv3(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
         else:
-            skip = conv3(self.out_channels, kernel=1, name="skip_conv")(x)
+            skip = conv3(self.out_channels, kernel=1, name="skip_conv",
+                         dtype=self.dtype)(x)
         return skip + h
 
 
@@ -132,22 +136,24 @@ class Downsample(nn.Module):
     """Stride-2 conv (diffusion_network.py:75-97, use_conv path)."""
 
     channels: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        return conv3(self.channels, strides=2, name="op")(x)
+        return conv3(self.channels, strides=2, name="op", dtype=self.dtype)(x)
 
 
 class Upsample(nn.Module):
     """Nearest x2 + conv (diffusion_network.py:50-71)."""
 
     channels: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         n, d, h, w, c = x.shape
         x = jax.image.resize(x, (n, d * 2, h * 2, w * 2, c), method="nearest")
-        return conv3(self.channels, name="conv")(x)
+        return conv3(self.channels, name="conv", dtype=self.dtype)(x)
 
 
 class FeatureProjector(nn.Module):
@@ -155,25 +161,26 @@ class FeatureProjector(nn.Module):
 
     out_channels: int
     hidden_channels: int | None = None
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         if self.hidden_channels is None:
-            x = conv3(self.out_channels, kernel=1, name="conv0")(x)
+            x = conv3(self.out_channels, kernel=1, name="conv0", dtype=self.dtype)(x)
             x = nn.GroupNorm(
                 num_groups=max(self.out_channels // 2, 1), epsilon=1e-5, name="gn0"
             )(x)
             return jax.nn.silu(x)
         gh = min(32, self.hidden_channels)
         go = min(32, self.out_channels)
-        x = conv3(self.hidden_channels, kernel=1, name="conv0")(x)
-        x = nn.GroupNorm(num_groups=gh, epsilon=1e-5, name="gn0")(x)
+        x = conv3(self.hidden_channels, kernel=1, name="conv0", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=gh, epsilon=1e-5, name="gn0", dtype=self.dtype)(x)
         x = jax.nn.silu(x)
-        x = conv3(self.hidden_channels, kernel=3, name="conv1")(x)
-        x = nn.GroupNorm(num_groups=gh, epsilon=1e-5, name="gn1")(x)
+        x = conv3(self.hidden_channels, kernel=3, name="conv1", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=gh, epsilon=1e-5, name="gn1", dtype=self.dtype)(x)
         x = jax.nn.silu(x)
-        x = conv3(self.out_channels, kernel=1, name="conv2")(x)
-        x = nn.GroupNorm(num_groups=go, epsilon=1e-5, name="gn2")(x)
+        x = conv3(self.out_channels, kernel=1, name="conv2", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=go, epsilon=1e-5, name="gn2", dtype=self.dtype)(x)
         return x
 
 
@@ -188,12 +195,13 @@ class MyUNetModel(nn.Module):
     spatial_size: int = 64
     dropout: float = 0.0
     num_heads: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         hs = []
         ch = self.model_channels
-        h = conv3(ch, name="conv_in")(x)
+        h = conv3(ch, name="conv_in", dtype=self.dtype)(x)
         hs.append(h)
 
         ds = 1
@@ -203,23 +211,24 @@ class MyUNetModel(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
                 ch = mult * self.model_channels
-                h = MyResBlock(ch, sp, self.dropout, name=f"down_{block}")(
-                    h, deterministic
-                )
+                h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                               name=f"down_{block}")(h, deterministic)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(self.num_heads, name=f"down_attn_{block}")(h)
                 hs.append(h)
                 block += 1
             if level != len(self.channel_mult) - 1:
-                h = Downsample(ch, name=f"downsample_{level}")(h)
+                h = Downsample(ch, dtype=self.dtype, name=f"downsample_{level}")(h)
                 hs.append(h)
                 sizes.append(sp)
                 ds *= 2
                 sp = (sp + 1) // 2
 
-        h = MyResBlock(ch, sp, self.dropout, name="middle_0")(h, deterministic)
+        h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype, name="middle_0")(
+            h, deterministic)
         h = AttentionBlock(self.num_heads, name="middle_attn")(h)
-        h = MyResBlock(ch, sp, self.dropout, name="middle_2")(h, deterministic)
+        h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype, name="middle_2")(
+            h, deterministic)
 
         block = 0
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
@@ -234,20 +243,20 @@ class MyUNetModel(nn.Module):
                     h = h[:, :, :, :-1]
                 cat = jnp.concatenate([h, skip], axis=-1)
                 ch = self.model_channels * mult
-                h = MyResBlock(ch, sp, self.dropout, name=f"up_{block}")(
-                    cat, deterministic
-                )
+                h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                               name=f"up_{block}")(cat, deterministic)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(self.num_heads, name=f"up_attn_{block}")(h)
                 if level and i == self.num_res_blocks:
-                    h = Upsample(ch, name=f"upsample_{block}")(h)
+                    h = Upsample(ch, dtype=self.dtype, name=f"upsample_{block}")(h)
                     ds //= 2
                     sp = sizes.pop()
                 block += 1
 
         h = SpatialLayerNorm(sp, name="out_norm")(h)
         h = leaky_relu_002(h)
-        return conv3(self.out_channels, zero_init=True, name="out_conv")(h)
+        return conv3(self.out_channels, zero_init=True, name="out_conv",
+                     dtype=self.dtype)(h)
 
 
 class SegmentationUNet(nn.Module):
@@ -261,13 +270,15 @@ class SegmentationUNet(nn.Module):
     attention_resolutions: Sequence[int] = ()
     grid_size: int = 64
     num_classes: int = 8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feat_grid, deterministic: bool = True):
         x = feat_grid
         if self.feature_channels != self.cond_dim:
             hidden = 128 if self.feature_channels > self.cond_dim else None
-            x = FeatureProjector(self.cond_dim, hidden, name="projector")(x)
+            x = FeatureProjector(self.cond_dim, hidden, dtype=self.dtype,
+                                 name="projector")(x)
         return MyUNetModel(
             model_channels=self.model_channels,
             out_channels=self.num_classes,
@@ -275,6 +286,7 @@ class SegmentationUNet(nn.Module):
             channel_mult=tuple(self.channel_mult),
             attention_resolutions=tuple(self.attention_resolutions),
             spatial_size=self.grid_size,
+            dtype=self.dtype,
             name="unet",
         )(x, deterministic)
 
@@ -290,13 +302,15 @@ class RegressionUNet(nn.Module):
     attention_resolutions: Sequence[int] = ()
     grid_size: int = 64
     out_channels: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feat_grid, deterministic: bool = True):
         x = feat_grid
         if self.feature_channels != self.cond_dim:
             hidden = 128 if self.feature_channels > self.cond_dim else None
-            x = FeatureProjector(self.cond_dim, hidden, name="projector")(x)
+            x = FeatureProjector(self.cond_dim, hidden, dtype=self.dtype,
+                                 name="projector")(x)
         return MyUNetModel(
             model_channels=self.model_channels,
             out_channels=self.out_channels,
@@ -304,5 +318,6 @@ class RegressionUNet(nn.Module):
             channel_mult=tuple(self.channel_mult),
             attention_resolutions=tuple(self.attention_resolutions),
             spatial_size=self.grid_size,
+            dtype=self.dtype,
             name="unet",
         )(x, deterministic)

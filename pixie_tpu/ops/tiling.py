@@ -165,68 +165,71 @@ def extract_windows(grid: jnp.ndarray, n_grid: int) -> jnp.ndarray:
 # W[tx+1, 0] (b == TILE-1 only); 3^3 sliced terms total.
 # ---------------------------------------------------------------------------
 
+def _zeros_like_shape(a, axis, size):
+    shape = list(a.shape)
+    shape[axis] = size
+    return jnp.zeros(shape, a.dtype)
+
+
+def _tile_shift(a, tile_axis, direction):
+    """a shifted along a tile axis: out[i] = a[i + direction], zero-filled."""
+    t = a.shape[tile_axis]
+    zero = _zeros_like_shape(a, tile_axis, 1)
+    if direction == 1:
+        body = jax.lax.slice_in_dim(a, 1, t, axis=tile_axis)
+        return jnp.concatenate([body, zero], axis=tile_axis)
+    body = jax.lax.slice_in_dim(a, 0, t - 1, axis=tile_axis)
+    return jnp.concatenate([zero, body], axis=tile_axis)
+
+
+def _expand_axis(g, tile_axis, block_axis):
+    """Blocked axis (t tiles x TILE blocks) -> window axis (WIN_S) per tile:
+    W[tw, u] = G[tw + s(u), b(u)] with u=0 -> (tw-1, TILE-1), u in [1,TILE]
+    -> (tw, u-1), u in [TILE+1, 2*TILE) -> (tw+1, u-TILE-1).
+
+    Pure slice/concat — no scatter, no dynamic-update-slice."""
+    bsl = lambda a, lo, hi: jax.lax.slice_in_dim(a, lo, hi, axis=block_axis)
+    piece0 = bsl(_tile_shift(g, tile_axis, -1), TILE - 1, TILE)      # u = 0
+    piece1 = g                                                        # u = 1..TILE
+    piece2 = bsl(_tile_shift(g, tile_axis, 1), 0, TILE - 1)          # u = TILE+1..
+    return jnp.concatenate([piece0, piece1, piece2], axis=block_axis)
+
+
+def _reduce_axis(w, tile_axis, u_axis):
+    """Adjoint of _expand_axis: window axis (WIN_S) -> blocked axis (TILE)."""
+    usl = lambda a, lo, hi: jax.lax.slice_in_dim(a, lo, hi, axis=u_axis)
+    pad_cfg = [(0, 0, 0)] * w.ndim
+
+    mid = usl(w, 1, TILE + 1)                              # own tile
+    # W[tx, u in TILE+1..2TILE-1] -> B[tx+1, b=0..TILE-2]: shift tiles down
+    from_prev = _tile_shift(usl(w, TILE + 1, 2 * TILE), tile_axis, -1)
+    cfg = list(pad_cfg)
+    cfg[u_axis] = (0, 1, 0)
+    from_prev = jax.lax.pad(from_prev, jnp.zeros((), w.dtype), cfg)
+    # W[tx, u=0] -> B[tx-1, b=TILE-1]: shift tiles up
+    from_next = _tile_shift(usl(w, 0, 1), tile_axis, 1)
+    cfg = list(pad_cfg)
+    cfg[u_axis] = (TILE - 1, 0, 0)
+    from_next = jax.lax.pad(from_next, jnp.zeros((), w.dtype), cfg)
+    return mid + from_prev + from_next
+
+
 def combine_windows_blocked(windows: jnp.ndarray, ch_axis_len: int) -> jnp.ndarray:
     """(t,t,t, C, WIN_S,WIN_S,WIN_S) windows -> blocked grid
-    (t,t,t, C, TILE,TILE,TILE).  Channel axis stays at position 3."""
-    t = windows.shape[0]
-    out = jnp.zeros((t, t, t, ch_axis_len, TILE, TILE, TILE), windows.dtype)
-
-    # per-axis source terms: (tile_shift, u_slice, b_slice)
-    terms = (
-        (0, slice(1, TILE + 1), slice(0, TILE)),          # own tile
-        (-1, slice(TILE + 1, 2 * TILE), slice(0, TILE - 1)),  # from prev tile
-        (1, slice(0, 1), slice(TILE - 1, TILE)),          # u=0 -> next tile's last b
-    )
-
-    def tile_slices(shift):
-        # B[dst] += W[src] with src tile = dst tile + shift
-        if shift == 0:
-            return slice(None), slice(None)
-        if shift == -1:  # W[tx-1] -> B[tx]: dst tx in [1, t), src in [0, t-1)
-            return slice(1, t), slice(0, t - 1)
-        return slice(0, t - 1), slice(1, t)  # W[tx+1] -> B[tx]
-
-    for sx, ux, bx in terms:
-        dx, wx = tile_slices(sx)
-        for sy, uy, by in terms:
-            dy, wy = tile_slices(sy)
-            for sz, uz, bz in terms:
-                dz, wz = tile_slices(sz)
-                out = out.at[dx, dy, dz, :, bx, by, bz].add(
-                    windows[wx, wy, wz, :, ux, uy, uz]
-                )
+    (t,t,t, C, TILE,TILE,TILE); channel axis stays at position 3.
+    Window u maps to grid cell TILE*tw + u - 1."""
+    out = _reduce_axis(windows, tile_axis=0, u_axis=4)
+    out = _reduce_axis(out, tile_axis=1, u_axis=5)
+    out = _reduce_axis(out, tile_axis=2, u_axis=6)
     return out
 
 
 def extract_windows_blocked(grid_blocked: jnp.ndarray) -> jnp.ndarray:
     """Adjoint: blocked grid (t,t,t,C,TILE,TILE,TILE) -> windows
-    (t,t,t,C,WIN_S,WIN_S,WIN_S) with windows[tw, u] = cell TILE*tw + u - 1."""
-    t = grid_blocked.shape[0]
-    c = grid_blocked.shape[3]
-    out = jnp.zeros((t, t, t, c, WIN_S, WIN_S, WIN_S), grid_blocked.dtype)
-
-    terms = (
-        (0, slice(1, TILE + 1), slice(0, TILE)),
-        (-1, slice(TILE + 1, 2 * TILE), slice(0, TILE - 1)),
-        (1, slice(0, 1), slice(TILE - 1, TILE)),
-    )
-
-    def tile_slices(shift):
-        if shift == 0:
-            return slice(None), slice(None)
-        if shift == -1:  # windows[tx] read grid[tx-1... wait adjoint mapping
-            return slice(1, t), slice(0, t - 1)
-        return slice(0, t - 1), slice(1, t)
-
-    for sx, ux, bx in terms:
-        gx, wx = tile_slices(sx)
-        for sy, uy, by in terms:
-            gy, wy = tile_slices(sy)
-            for sz, uz, bz in terms:
-                gz, wz = tile_slices(sz)
-                out = out.at[wx, wy, wz, :, ux, uy, uz].set(
-                    grid_blocked[gx, gy, gz, :, bx, by, bz]
-                )
+    (t,t,t,C,WIN_S,WIN_S,WIN_S)."""
+    out = _expand_axis(grid_blocked, tile_axis=0, block_axis=4)
+    out = _expand_axis(out, tile_axis=1, block_axis=5)
+    out = _expand_axis(out, tile_axis=2, block_axis=6)
     return out
 
 

@@ -90,43 +90,42 @@ def _window_factors(u0, fx):
 
 
 def _pairs(u0y, fy, u0z, fz):
-    """Directly build the five (PBLK, WIN_S*WIN_S) (y,z) pair maps for variant
-    combinations (1,1), (2,1), (1,2), (3,1), (1,3).
+    """The five (PBLK, WIN_S*WIN_S) (y,z) pair maps for variant combinations
+    (1,1), (2,1), (1,2), (3,1), (1,3), built as products of WIDE per-axis
+    factors (each column has at most one active stencil entry per axis, so
+    e.g. the dpos-weighted variant is the base variant times a per-column
+    affine term).  19 elementwise passes vs 45 for the naive 9-term loop.
 
-    Constructed 256-wide with integer div/mod on a 2D iota — Mosaic does not
+    Constructed 256-wide with shifts/masks on a 2D iota — Mosaic does not
     support the (P, 16, 16) -> (P, 256) vector reshape an outer-product
     formulation would need.
     """
     n = u0y.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (n, WIN_S * WIN_S), 1)
-    cy = col >> 4  # WIN_S == 16
-    cz = col & (WIN_S - 1)
-    u0yi = u0y.astype(jnp.int32)[:, None]
-    u0zi = u0z.astype(jnp.int32)[:, None]
+    cy = (col >> 4).astype(jnp.float32)  # WIN_S == 16
+    cz = (col & (WIN_S - 1)).astype(jnp.float32)
+    u0yc = u0y[:, None]
+    u0zc = u0z[:, None]
+    fyc = fy[:, None]
+    fzc = fz[:, None]
 
-    wy = [0.5 * (1.5 - fy) ** 2, 0.75 - (fy - 1.0) ** 2, 0.5 * (fy - 0.5) ** 2]
-    dwy = [fy - 1.5, -2.0 * (fy - 1.0), fy - 0.5]
-    wz = [0.5 * (1.5 - fz) ** 2, 0.75 - (fz - 1.0) ** 2, 0.5 * (fz - 0.5) ** 2]
-    dwz = [fz - 1.5, -2.0 * (fz - 1.0), fz - 0.5]
+    def wide_factors(c, u0c, fc):
+        """(w-wide, w*dpos-wide, dw-wide) factors over the 256 columns."""
+        w = [0.5 * (1.5 - fc) ** 2, 0.75 - (fc - 1.0) ** 2, 0.5 * (fc - 0.5) ** 2]
+        dw = [fc - 1.5, -2.0 * (fc - 1.0), fc - 0.5]
+        w1 = jnp.zeros_like(c)
+        w3 = jnp.zeros_like(c)
+        for i in range(3):
+            hit = c == (u0c + i)
+            w1 = jnp.where(hit, w[i], w1)
+            w3 = jnp.where(hit, dw[i], w3)
+        # dpos modifier: i - f == (c - u0) - f on active columns
+        w2 = w1 * (c - u0c - fc)
+        return w1, w2, w3
 
-    zero = jnp.zeros((n, WIN_S * WIN_S), jnp.float32)
-    p11, p21, p12, p31, p13 = zero, zero, zero, zero, zero
-    for iy in range(3):
-        hy = cy == (u0yi + iy)
-        y1 = wy[iy]
-        y2 = wy[iy] * (iy - fy)
-        y3 = dwy[iy]
-        for iz in range(3):
-            m = jnp.where(hy & (cz == (u0zi + iz)), 1.0, 0.0)
-            z1 = wz[iz]
-            z2 = wz[iz] * (iz - fz)
-            z3 = dwz[iz]
-            p11 = p11 + (y1 * z1)[:, None] * m
-            p21 = p21 + (y2 * z1)[:, None] * m
-            p12 = p12 + (y1 * z2)[:, None] * m
-            p31 = p31 + (y3 * z1)[:, None] * m
-            p13 = p13 + (y1 * z3)[:, None] * m
-    return p11, p21, p12, p31, p13
+    y1, y2, y3 = wide_factors(cy, u0yc, fyc)
+    z1, z2, z3 = wide_factors(cz, u0zc, fzc)
+    return y1 * z1, y2 * z1, y1 * z2, y3 * z1, y1 * z3
 
 
 def _p2g_kernel(tile_ref, pdata_ref, out_ref):
