@@ -166,13 +166,13 @@ def _p2g_kernel(tile_ref, pdata_ref, out_ref):
     l31 = lefts([x1 * qsy[:, c:c + 1] for c in range(3)] + [zero])
     l13 = lefts([x1 * qsz[:, c:c + 1] for c in range(3)] + [zero])
 
-    acc = out_ref[...]
-    for left, pair_map in ((l11, p11), (l21, p21), (l12, p12), (l31, p31), (l13, p13)):
-        acc = acc + jax.lax.dot_general(
-            left, pair_map, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[...] = acc
+    # one MXU-friendly dot: sum_v L_v^T P_v == vstack(L)^T @ vstack(P)
+    left_big = jnp.concatenate([l11, l21, l12, l31, l13], axis=0)   # (5*PBLK, 64)
+    pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)   # (5*PBLK, 256)
+    out_ref[...] = out_ref[...] + jax.lax.dot_general(
+        left_big, pair_big, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[None]
 
 
 def p2g_tiled(pdata, block_tile, n_tiles_total: int, interpret: bool = False):
@@ -209,23 +209,21 @@ def _g2p_kernel(tile_ref, pdata_ref, win_ref, out_ref):
 
     win = win_ref[0]  # (3*WIN_S, WIN_S^2)
 
+    # ONE MXU dot for all (variant, channel) contractions:
+    # vstack(P_v) (5*PBLK, YZ) @ win^T (YZ, 3*WIN_S) -> (5*PBLK, 3*WIN_S)
+    pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)
+    t_big = jax.lax.dot_general(
+        pair_big, win, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    n = x1.shape[0]
+
+    def t(v, c):
+        return t_big[v * n : (v + 1) * n, c * WIN_S : (c + 1) * WIN_S]
+
     outs = []
     for c in range(3):
-        wc = win[c * WIN_S : (c + 1) * WIN_S, :]  # (WIN_S, YZ)
-
-        def contract(pair_map):
-            # (PBLK, YZ) @ (YZ, WIN_S) -> (PBLK, WIN_S)
-            return jax.lax.dot_general(
-                pair_map, wc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        t11 = contract(p11)
-        t21 = contract(p21)
-        t12 = contract(p12)
-        t31 = contract(p31)
-        t13 = contract(p13)
-
+        t11, t21, t12, t31, t13 = (t(0, c), t(1, c), t(2, c), t(3, c), t(4, c))
         v_c = jnp.sum(x1 * t11, axis=1, keepdims=True)
         c_x = jnp.sum(x2 * t11, axis=1, keepdims=True)
         c_y = jnp.sum(x1 * t21, axis=1, keepdims=True)
