@@ -127,7 +127,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small shapes, CPU-safe")
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--skip-mpm", action="store_true")
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     if args.quick:

@@ -148,3 +148,34 @@ class TestFastSolverFrames:
         np.testing.assert_allclose(
             np.asarray(fast.state.v), np.asarray(ref.v), atol=5e-4, rtol=1e-3
         )
+
+
+class TestMultiMaterial:
+    def test_sand_snow_metal_rollout_stable(self):
+        """Mixed constitutive models through the fast path (the real-scene
+        multi-material configuration class, BASELINE.md)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        n = 600
+        x = rng.uniform(0.5, 1.5, (n, 3)).astype(np.float32)
+        st = make_state(x, np.full(n, 1e-5, np.float32), density=400.0,
+                        E=5e5, nu=0.3, yield_stress=1e3)
+        mats = np.zeros(n, np.int32)
+        mats[:200] = 2   # sand
+        mats[200:400] = 5  # snow
+        mats[400:500] = 1  # metal
+        st = finalize_mu_lam(st.replace(material=jnp.asarray(mats)))
+        cfg = MPMConfig(n_grid=32, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(0, 1, 2, 5), hardening=1.0, xi=0.1)
+        from pixie_tpu.sim.solver_fast import FastMPMSolver
+
+        solver = FastMPMSolver(st, cfg, interpret=INTERPRET)
+        solver.step_frame(60, 1e-4)
+        xs = np.asarray(solver.state.x)
+        assert np.isfinite(xs).all()
+        # sand/snow plasticity must actually engage (yield stress evolves)
+        ys = np.asarray(solver.state.yield_stress)
+        assert np.isfinite(ys).all()
+        # falls under gravity
+        assert xs[:, 2].mean() < x[:, 2].mean()
