@@ -40,6 +40,12 @@ N_GRID_CH = 4   # momentum x/y/z + mass
 N_VEL_CH = 3
 OUT_CH = 32     # g2p: v(3) C(9) grad(9) padded to 32
 
+# bf16 inputs / fp32 accumulation for the transfer contractions: ~4x MXU rate
+# at ~0.4% relative transfer error.  Module-level switch (import-time) so the
+# reference-parity tests keep fp32; enable via
+# pixie_tpu.ops.transfer.BF16_DOTS = True before building the solver.
+BF16_DOTS = False
+
 
 def build_pdata(x, v, C, stress, mass, vol, tile_coords_per_slot, dt, dx, inv_dx):
     """Assemble the kernel input (Np, 32) from padded-layout state arrays.
@@ -169,6 +175,9 @@ def _p2g_kernel(tile_ref, pdata_ref, out_ref):
     # one MXU-friendly dot: sum_v L_v^T P_v == vstack(L)^T @ vstack(P)
     left_big = jnp.concatenate([l11, l21, l12, l31, l13], axis=0)   # (5*PBLK, 64)
     pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)   # (5*PBLK, 256)
+    if BF16_DOTS:
+        left_big = left_big.astype(jnp.bfloat16)
+        pair_big = pair_big.astype(jnp.bfloat16)
     out_ref[...] = out_ref[...] + jax.lax.dot_general(
         left_big, pair_big, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -212,6 +221,9 @@ def _g2p_kernel(tile_ref, pdata_ref, win_ref, out_ref):
     # ONE MXU dot for all (variant, channel) contractions:
     # vstack(P_v) (5*PBLK, YZ) @ win^T (YZ, 3*WIN_S) -> (5*PBLK, 3*WIN_S)
     pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)
+    if BF16_DOTS:
+        pair_big = pair_big.astype(jnp.bfloat16)
+        win = win.astype(jnp.bfloat16)
     t_big = jax.lax.dot_general(
         pair_big, win, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,

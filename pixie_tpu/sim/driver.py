@@ -37,17 +37,37 @@ def run_simulation(
     particle_volume: float | None = None,
     debug: bool = False,
     use_fast_solver: bool = True,
+    gaussian_checkpoint: str | Path | None = None,
 ) -> dict:
-    """End-to-end rollout; returns timing/diagnostic info."""
+    """End-to-end rollout; returns timing/diagnostic info.
+
+    With ``gaussian_checkpoint`` (a 3DGS model dir or point_cloud.ply), the
+    simulated particles come from the opacity-filtered gaussians
+    (gs_simulation.py:405-434) with optional internal particle filling, and
+    the material PLY maps onto them via kNN smoothing — the reference's full
+    neural-simulation flow.  Without it, the material PLY's vertices ARE the
+    particles (point-cloud mode, gs_simulation.py:108).
+    """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     (material_params, bc_params, time_params, preprocessing_params,
      camera_params) = decode_param_json(config_path)
 
     params = load_material_ply(point_cloud_path)
-    pos = params["pos"].astype(np.float32)
+
+    if gaussian_checkpoint is not None:
+        pos, extra = load_gaussian_particles(
+            gaussian_checkpoint,
+            opacity_threshold=preprocessing_params["opacity_threshold"],
+            filling=preprocessing_params.get("particle_filling"),
+            n_grid=material_params["n_grid"],
+        )
+    else:
+        pos = params["pos"].astype(np.float32)
+        extra = {}
     n0 = len(pos)
-    logging.info("Loaded %d particles from %s", n0, point_cloud_path)
+    logging.info("Loaded %d particles from %s", n0,
+                 gaussian_checkpoint or point_cloud_path)
 
     # optional rotations (gs_simulation.py:413-420)
     rotation_matrices = tf.generate_rotation_matrices(
@@ -88,12 +108,16 @@ def run_simulation(
     setup["g"] = g
     solver.set_parameters_dict(setup)
 
-    # material field: kNN map PLY properties onto the (possibly resampled)
-    # particles; here particle set == PLY vertices after crop so smoothing is
-    # an identity unless filling added particles
-    sub_params = {k: (np.asarray(v)[keep] if np.asarray(v).shape[:1] == (n0,) else v)
-                  for k, v in params.items()}
-    sub_params["pos"] = pos  # original-frame positions for kNN
+    # material field: kNN map PLY properties onto the (possibly different)
+    # particle set; identity when the PLY vertices are the particles
+    if gaussian_checkpoint is not None:
+        sub_params = dict(params)  # PLY is the material source, not particles
+    else:
+        sub_params = {
+            k: (np.asarray(v)[keep] if np.asarray(v).shape[:1] == (n0,) else v)
+            for k, v in params.items()
+        }
+        sub_params["pos"] = pos  # original-frame positions for kNN
     mpm_world = tf.apply_inverse_rotations(
         tf.undotransform2origin(
             tf.undoshift2center111(pos_mpm, z_shift), scale_origin, original_mean_pos
@@ -179,3 +203,57 @@ def run_simulation(
     }
     (output_dir / "sim_info.json").write_text(json.dumps(info, indent=2))
     return info
+
+
+def load_gaussian_particles(gaussian_checkpoint, opacity_threshold: float = 0.02,
+                            filling: dict | None = None, n_grid: int = 50):
+    """3DGS checkpoint -> simulation particles.
+
+    Opacity filter (gs_simulation.py:405), optional internal particle filling
+    (fill_particles, particle_filling/filling.py:291) with attribute
+    inheritance, covariances for rendering transport.
+    """
+    from pixie_tpu.recon.gaussians import (  # noqa: PLC0415
+        covariance_upper,
+        get_opacity,
+        load_gaussian_ply,
+    )
+    from pixie_tpu.recon.train_gaussians import search_for_max_iteration  # noqa: PLC0415
+
+    path = Path(gaussian_checkpoint)
+    if path.is_dir():
+        pc_dir = path / "point_cloud"
+        it = search_for_max_iteration(pc_dir)
+        path = pc_dir / f"iteration_{it}" / "point_cloud.ply"
+    gs = load_gaussian_ply(path)
+
+    opacity = np.asarray(get_opacity(gs))[:, 0]
+    keep = opacity > opacity_threshold
+    pos = np.asarray(gs["xyz"])[keep].astype(np.float32)
+    cov = np.asarray(covariance_upper(gs))[keep]
+    opac = opacity[keep]
+    logging.info("opacity filter: %d -> %d gaussians", len(opacity), len(pos))
+
+    if filling:
+        from pixie_tpu.sim.filling import fill_particles  # noqa: PLC0415
+
+        # normalize to [0,1] box for the filling grids (gs_simulation flow
+        # fills after transform2origin; approximate with the bbox here)
+        lo = pos.min(axis=0)
+        span = max(float((pos.max(axis=0) - lo).max()), 1e-6)
+        pos01 = (pos - lo) / span
+        new01 = fill_particles(
+            pos01, opac, cov / span**2,
+            grid_n=filling["n_grid"], max_samples=filling["max_particles_num"],
+            grid_dx=1.0 / filling["n_grid"],
+            density_thres=filling["density_threshold"],
+            search_thres=filling["search_threshold"],
+            max_particles_per_cell=filling["max_partciels_per_cell"],
+            search_exclude_dir=filling["search_exclude_direction"],
+            ray_cast_dir=filling["ray_cast_direction"],
+            boundary=filling["boundary"],
+        )
+        if len(new01):
+            pos = np.concatenate([pos, (new01 * span + lo).astype(np.float32)])
+            logging.info("particle filling added %d particles", len(new01))
+    return pos, {"cov_upper": cov, "opacity": opac}

@@ -171,3 +171,50 @@ class TestSimDriver:
         assert np.abs(f["x"]).max() < 1.0
         assert (tmp_path / "out" / "sim_info.json").exists()
         assert (tmp_path / "out" / "boundary_conditions.json").exists()
+
+
+class TestGaussianCheckpointSim:
+    def test_sim_from_gs_checkpoint_with_knn_material(self, tmp_path):
+        """The reference's full flow: 3DGS particles + kNN-mapped material PLY."""
+        import json
+
+        from pixie_tpu.recon import gaussians as G
+        from pixie_tpu.sim.driver import run_simulation
+        from pixie_tpu.utils.io import make_material_vertex, write_ply
+
+        rng = np.random.default_rng(0)
+        # gaussians: a blob of 500
+        pts = rng.uniform(-0.2, 0.2, (500, 3)).astype(np.float32)
+        params = G.create_from_points(pts, initial_opacity=0.8)
+        ckpt = tmp_path / "gs" / "point_cloud" / "iteration_100"
+        ckpt.mkdir(parents=True)
+        G.save_gaussian_ply(ckpt / "point_cloud.ply", params)
+
+        # material PLY on a DIFFERENT, sparser set -> kNN smoothing must map
+        mpts = rng.uniform(-0.2, 0.2, (120, 3)).astype(np.float32)
+        v = make_material_vertex(
+            coords=mpts,
+            density=np.full(120, 300.0, np.float32),
+            E=np.full(120, 1e5, np.float32),
+            nu=np.full(120, 0.35, np.float32),
+            material_id=np.zeros(120, np.int64),
+        )
+        write_ply(tmp_path / "mapped_preds.ply", v)
+
+        cfg = {
+            "material": "jelly", "n_grid": 24, "grid_lim": 2.0,
+            "substep_dt": 1e-4, "frame_dt": 1e-3, "frame_num": 2, "g": 9.8,
+        }
+        (tmp_path / "sim.json").write_text(json.dumps(cfg))
+        info = run_simulation(
+            tmp_path / "mapped_preds.ply", tmp_path / "sim.json",
+            tmp_path / "out", gaussian_checkpoint=tmp_path / "gs",
+        )
+        assert info["n_particles"] == 500  # gaussians, not PLY vertices
+        from pixie_tpu.utils.io import read_ply
+
+        f = read_ply(sorted((tmp_path / "out" / "ply_files").glob("*.ply"))[-1])["vertex"]
+        assert len(f) == 500
+        # material mapped from the PLY via kNN
+        np.testing.assert_allclose(f["E"], 1e5, rtol=1e-4)
+        assert np.isfinite(f["x"]).all()
