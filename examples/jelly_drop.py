@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--dt", type=float, default=1e-4)
     ap.add_argument("--out", type=str, default="/tmp/jelly_drop")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--fast", action="store_true",
+                    help="use the Pallas tile-blocked solver")
     args = ap.parse_args()
 
     if args.cpu:
@@ -58,25 +60,32 @@ def main():
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    if args.fast:
+        from pixie_tpu.sim.solver_fast import FastMPMSolver
+
+        stepper = FastMPMSolver(solver.state, solver.cfg, tuple(solver.bcs))
+    else:
+        stepper = solver
+
     # warm-up / compile
     t0 = time.time()
-    solver.step_frame(args.substeps, args.dt)
-    solver.export_particle_x()
+    stepper.step_frame(args.substeps, args.dt)
+    np.asarray(stepper.state.x)
     compile_s = time.time() - t0
     print(f"frame 0 (incl. compile): {compile_s:.2f}s")
 
     times = []
     for frame in range(1, args.frames):
         t0 = time.time()
-        solver.step_frame(args.substeps, args.dt)
-        pos = solver.export_particle_x()
+        stepper.step_frame(args.substeps, args.dt)
+        pos = np.asarray(stepper.state.x)
         times.append(time.time() - t0)
         v = make_material_vertex(
             coords=pos,
-            density=np.asarray(solver.state.density),
-            E=np.asarray(solver.state.E),
-            nu=np.asarray(solver.state.nu),
-            material_id=np.asarray(solver.state.material),
+            density=np.asarray(stepper.state.density),
+            E=np.asarray(stepper.state.E),
+            nu=np.asarray(stepper.state.nu),
+            material_id=np.asarray(stepper.state.material),
         )
         write_ply(out_dir / f"frame_{frame:04d}.ply", v)
         print(
