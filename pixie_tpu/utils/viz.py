@@ -29,10 +29,12 @@ def render_pointcloud_image(
     res: int = 512,
     axis: int = 1,
     bg: float = 1.0,
+    point_size: int = 2,
 ) -> np.ndarray:
     """Orthographic scatter of a point cloud to an (res,res,3) float image.
 
     Projects along ``axis``; z-orders by the projected-out coordinate.
+    ``point_size`` is the square splat edge in pixels.
     """
     points = np.asarray(points, np.float32)
     if len(points) == 0:
@@ -53,8 +55,12 @@ def render_pointcloud_image(
 
     order = np.argsort(depth)  # back to front
     img = np.full((res, res, 3), bg, np.float32)
-    # y axis flipped for image coordinates
-    img[res - 1 - px[order, 1], px[order, 0]] = colors[order]
+    # y axis flipped for image coordinates; square splat of point_size pixels
+    for dy in range(point_size):
+        for dx in range(point_size):
+            yy = np.clip(res - 1 - px[order, 1] + dy, 0, res - 1)
+            xx = np.clip(px[order, 0] + dx, 0, res - 1)
+            img[yy, xx] = colors[order]
     return img
 
 

@@ -115,6 +115,29 @@ def render_sim_frames(cfg, paths, res: int = 512):
     return out_dir
 
 
+def render_feature_colored_mesh(cfg, paths, turntable_frames: int = 24):
+    """Paint material predictions onto the object mesh and render turntables
+    (apply_feature_colors.py equivalent, Blender-free: utils/mesh_paint.py)."""
+    from pixie_tpu.utils.mesh_paint import paint_mesh_with_predictions
+    from pixie_tpu.utils.paths import sample_dir
+
+    sdir = Path(sample_dir(paths["render_output"], cfg.physics.sample_id))
+    preds = sdir / "mapped_preds.ply"
+    if not preds.exists():
+        preds = sdir / "segmented_semantics.ply"
+    mesh = Path(cfg.paths.get("data_dir", ".")) / f"{cfg.obj_id}.glb"
+    if not mesh.exists():
+        # fall back to painting the prediction cloud itself
+        mesh = preds
+    out_dir = Path(paths["render_output"]) / "feature_colors"
+    outs = paint_mesh_with_predictions(
+        mesh, preds, out_dir, turntable_frames=turntable_frames,
+        fps=cfg.output_rendering.fps,
+    )
+    logging.info("feature-colored mesh -> %s", out_dir)
+    return outs
+
+
 def _save_png(path, img):
     from PIL import Image
 
@@ -138,6 +161,8 @@ def main(argv=None):
             render_gs_views(cfg, paths)
         elif mode == "sim":
             render_sim_frames(cfg, paths)
+        elif mode == "feature_colors":
+            render_feature_colored_mesh(cfg, paths)
         elif mode in ("blender_glb", "blender_gs"):
             if shutil.which(str(cfg.paths.get("blender_path", "blender"))) is None:
                 logging.warning("blender not found; skipping %s", mode)

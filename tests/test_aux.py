@@ -114,3 +114,89 @@ class TestCuration:
         loaded = load_obj_metadata(p)
         assert get_obj_class_for_id("abc", loaded) == "trees"
         assert get_obj_class_for_id("zzz", loaded) is None
+
+
+class TestMeshPaint:
+    @staticmethod
+    def _write_glb(path, verts, translation=None):
+        """Minimal single-primitive GLB with float32 POSITION."""
+        import struct
+
+        bin_chunk = verts.astype("<f4").tobytes()
+        pad = (-len(bin_chunk)) % 4
+        bin_chunk += b"\x00" * pad
+        node = {"mesh": 0}
+        if translation is not None:
+            node["translation"] = list(translation)
+        gltf = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [node],
+            "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+            "accessors": [{
+                "bufferView": 0, "componentType": 5126, "count": len(verts),
+                "type": "VEC3",
+            }],
+            "bufferViews": [{"buffer": 0, "byteOffset": 0,
+                             "byteLength": len(bin_chunk)}],
+            "buffers": [{"byteLength": len(bin_chunk)}],
+        }
+        js = json.dumps(gltf).encode()
+        js += b" " * ((-len(js)) % 4)
+        total = 12 + 8 + len(js) + 8 + len(bin_chunk)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<III", 0x46546C67, 2, total))
+            f.write(struct.pack("<II", len(js), 0x4E4F534A))
+            f.write(js)
+            f.write(struct.pack("<II", len(bin_chunk), 0x004E4942))
+            f.write(bin_chunk)
+
+    def test_glb_parse_applies_node_transform(self, tmp_path):
+        from pixie_tpu.utils.mesh_paint import load_glb_vertices
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        self._write_glb(tmp_path / "m.glb", verts, translation=[1.0, 2.0, 3.0])
+        out = load_glb_vertices(tmp_path / "m.glb")
+        np.testing.assert_allclose(out, verts + [1.0, 2.0, 3.0], atol=1e-6)
+
+    def test_paint_modes_and_material_colors(self, tmp_path):
+        from pixie_tpu.utils.io import make_material_vertex, read_ply, write_ply
+        from pixie_tpu.utils.mesh_paint import (
+            MATERIAL_COLORS, paint_mesh_with_predictions)
+
+        rng = np.random.default_rng(0)
+        # predictions: left half jelly (0), right half metal (1)
+        pts = rng.uniform(-0.4, 0.4, (400, 3)).astype(np.float32)
+        mats = (pts[:, 0] > 0).astype(np.int64)
+        v = make_material_vertex(
+            coords=pts, density=np.full(400, 300.0, np.float32),
+            E=np.where(mats == 1, 1e7, 1e5).astype(np.float32),
+            nu=np.full(400, 0.35, np.float32), material_id=mats,
+        )
+        write_ply(tmp_path / "mapped_preds.ply", v)
+        # mesh: same cloud shape, different scale/offset
+        mesh = (pts * 3.0 + 5.0).astype(np.float32)
+        self._write_glb(tmp_path / "obj.glb", mesh)
+
+        outs = paint_mesh_with_predictions(
+            tmp_path / "obj.glb", tmp_path / "mapped_preds.ply",
+            tmp_path / "painted", turntable_frames=2,
+        )
+        assert set(outs) >= {"material", "density", "E", "nu"}
+        pv = read_ply(outs["material"])["vertex"]
+        assert len(pv) == 400
+        # right-half vertices must carry the metal palette color
+        right = pv["x"] > 5.0
+        exp = (MATERIAL_COLORS[1] * 255).astype(np.uint8)
+        got = np.stack([pv["red"][right], pv["green"][right], pv["blue"][right]], -1)
+        assert (np.abs(got.astype(int) - exp.astype(int)) <= 1).all()
+        # E colormap must differ between halves
+        ev = read_ply(outs["E"])["vertex"]
+        left_c = ev["red"][~right].mean()
+        right_c = ev["red"][right].mean()
+        assert abs(left_c - right_c) > 30
+        # turntable video (gif fallback allowed) exists
+        vid = outs.get("material_video")
+        assert vid is not None and (Path(vid).exists()
+                                    or Path(vid).with_suffix(".gif").exists())
