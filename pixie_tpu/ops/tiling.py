@@ -22,6 +22,8 @@ decomposes into 2^3 parity blocks.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +31,11 @@ import numpy as np
 TILE = 8            # grid cells per tile edge
 WIN = TILE + 4      # valid node-window extent per axis (drift +/-1 included)
 WIN_S = 2 * TILE    # stored window extent (padded for the parity combine)
-PBLK = 128          # particles per kernel block (per-tile padding granularity)
+# particles per kernel block (per-tile padding granularity).  Swept on v5e at
+# 100k particles / 50^3 grid: 128 -> 70.7 substeps/s, 256 -> 61.3, 512 -> 39.3
+# — the kernels are NOT per-program-overhead-bound; smaller blocks pipeline
+# better.  Env knob for re-sweeping on new targets.
+PBLK = int(os.environ.get("PIXIE_PBLK", "128"))
 
 
 def n_tiles(n_grid: int) -> int:

@@ -200,3 +200,43 @@ class TestMeshPaint:
         vid = outs.get("material_video")
         assert vid is not None and (Path(vid).exists()
                                     or Path(vid).with_suffix(".gif").exists())
+
+
+class TestManualFilter:
+    def test_correction_workflow(self, tmp_path):
+        from pixie_tpu.data_curation.manual_filter import main
+
+        meta = tmp_path / "meta.json"
+        meta.write_text(json.dumps({
+            "a1": {"obj_class": "metal_crates"},
+            "a2": "shrubs",  # legacy string entry
+        }))
+        base = ["--metadata", str(meta)]
+        assert main(base + ["accept", "a1"]) == 0
+        assert main(base + ["reject", "a2", "--reason", "bad render"]) == 0
+        data = json.loads(meta.read_text())
+        assert data["a1"]["accepted"] is True
+        # legacy entry upgraded to dict form, class preserved
+        assert data["a2"] == {"obj_class": "shrubs", "accepted": False,
+                              "reason": "bad render"}
+        # audit log exists with two entries
+        log = meta.with_suffix(".json.corrections.log")
+        assert len(log.read_text().splitlines()) == 2
+        # batch apply flips a2 back
+        corr = tmp_path / "c.json"
+        corr.write_text(json.dumps({"a2": {"accepted": True}}))
+        assert main(base + ["apply", str(corr)]) == 0
+        assert json.loads(meta.read_text())["a2"]["accepted"] is True
+
+    def test_stats_and_filter(self, tmp_path):
+        from pixie_tpu.data_curation.manual_filter import (
+            filter_objects, stats)
+
+        meta = {"x": {"obj_class": "c1", "accepted": True},
+                "y": {"obj_class": "c1"},
+                "z": {"obj_class": "c2", "accepted": False}}
+        s = stats(meta)
+        assert s["c1"] == {"total": 2, "accepted": 1, "rejected": 0,
+                           "unreviewed": 1}
+        assert list(filter_objects(meta, status="rejected")) == ["z"]
+        assert list(filter_objects(meta, obj_class="c1")) == ["x", "y"]
