@@ -49,18 +49,89 @@ class SpatialLayerNorm(nn.Module):
 
     sp: int
     eps: float = 1e-5
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         weight = self.param("weight", nn.initializers.ones, (self.sp, self.sp, self.sp))
         bias = self.param("bias", nn.initializers.zeros, (self.sp, self.sp, self.sp))
-        mean = x.mean(axis=(1, 2, 3), keepdims=True)
-        var = x.var(axis=(1, 2, 3), keepdims=True)
-        xn = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        return xn * weight[None, :, :, :, None] + bias[None, :, :, :, None]
+        if self.dtype is None:
+            mean = x.mean(axis=(1, 2, 3), keepdims=True)
+            var = x.var(axis=(1, 2, 3), keepdims=True)
+            xn = (x - mean) * jax.lax.rsqrt(var + self.eps)
+            return xn * weight[None, :, :, :, None] + bias[None, :, :, :, None]
+        # low-precision compute path: statistics in fp32 (converts fuse into
+        # the reductions; the (B,1,1,1,C) results are tiny), normalize+affine
+        # in the compute dtype — the fp32-param path above would otherwise
+        # promote the whole activation to fp32 and back around every LN
+        # (profiled: ~3 ms of multiply_convert + copies per 64^3 net pass)
+        # one-pass stats: sum and sum-of-squares share the single activation
+        # read (separate mean/var passes each re-read the full tensor)
+        xf = x.astype(jnp.float32)
+        n_sp = x.shape[1] * x.shape[2] * x.shape[3]
+        s1 = xf.sum(axis=(1, 2, 3), keepdims=True)
+        s2 = (xf * xf).sum(axis=(1, 2, 3), keepdims=True)
+        mean = s1 / n_sp
+        var = jnp.maximum(s2 / n_sp - mean * mean, 0.0)
+        scale = jax.lax.rsqrt(var + self.eps)
+        xn = (x - mean.astype(self.dtype)) * scale.astype(self.dtype)
+        return (xn * weight[None, :, :, :, None].astype(self.dtype)
+                + bias[None, :, :, :, None].astype(self.dtype))
+
+
+# Lower stride-1 3x3x3 convs as three depth-shifted 2D convs summed.  XLA's
+# native 3D-conv path on TPU materializes 5-D windowed buffers and layout
+# transposes around every conv (profiled: ~190 copies / 7 ms per 64^3 net
+# pass); the 2D decomposition rides the tuned 2D conv path with identical
+# math and an identical param tree.  Trace-time switch.
+CONV3_VIA_2D = True
+
+
+class _Conv3DVia2D(nn.Module):
+    """3x3x3 stride-1 SAME conv == sum_t conv2d(shift_depth(x, t-1), k[t]).
+
+    Param tree matches ``nn.Conv`` ({kernel (3,3,3,Cin,F), bias (F,)}), so
+    torch checkpoints and the fp32 reference path load unchanged.
+    """
+
+    features: int
+    zero_init: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        n, d, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (3, 3, 3, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x, kernel, bias = (t.astype(self.dtype) for t in (x, kernel, bias))
+        dn = jax.lax.conv_dimension_numbers(
+            (n * d, h, w, c), (3, 3, c, self.features), ("NHWC", "HWIO", "NHWC")
+        )
+        zslice = jnp.zeros((n, 1, h, w, c), x.dtype)
+        out = None
+        for t in range(3):
+            if t == 0:  # output depth di reads input depth di-1
+                xs = jnp.concatenate([zslice, x[:, :-1]], axis=1)
+            elif t == 1:
+                xs = x
+            else:       # reads input depth di+1
+                xs = jnp.concatenate([x[:, 1:], zslice], axis=1)
+            o = jax.lax.conv_general_dilated(
+                xs.reshape(n * d, h, w, c), kernel[t], (1, 1),
+                [(1, 1), (1, 1)], dimension_numbers=dn,
+            )
+            out = o if out is None else out + o
+        return out.reshape(n, d, h, w, self.features) + bias
 
 
 def conv3(features, kernel=3, strides=1, zero_init=False, name=None, dtype=None):
+    if CONV3_VIA_2D and kernel == 3 and strides == 1:
+        return _Conv3DVia2D(features, zero_init=zero_init, dtype=dtype, name=name)
     return nn.Conv(
         features,
         kernel_size=(kernel, kernel, kernel),
@@ -73,8 +144,55 @@ def conv3(features, kernel=3, strides=1, zero_init=False, name=None, dtype=None)
     )
 
 
+class _SplitInputConv(nn.Module):
+    """conv(concat([a, b], -1)) without materializing the concat.
+
+    Channel-concat along the (padded) lane axis forces full-activation layout
+    copies on TPU; a conv is linear in its input channels, so
+    ``conv(cat(a,b)) == conv_a(a) + conv_b(b)`` with the kernel split along
+    the input-channel dim.  The param tree is IDENTICAL to ``nn.Conv`` with
+    the full (k,k,k, Ca+Cb, F) kernel — torch checkpoints load unchanged.
+    """
+
+    features: int
+    kernel: int = 3
+    zero_init: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, a, b):
+        in_ch = a.shape[-1] + b.shape[-1]
+        k = self.kernel
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal(),
+            (k, k, k, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            a, b, kernel, bias = (t.astype(self.dtype) for t in (a, b, kernel, bias))
+        dn = jax.lax.conv_dimension_numbers(
+            a.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC")
+        )
+        pad = [(k // 2, k // 2)] * 3
+        ca = a.shape[-1]
+        out = jax.lax.conv_general_dilated(
+            a, kernel[..., :ca, :], (1, 1, 1), pad, dimension_numbers=dn
+        ) + jax.lax.conv_general_dilated(
+            b, kernel[..., ca:, :], (1, 1, 1), pad, dimension_numbers=dn
+        )
+        return out + bias
+
+
 class MyResBlock(nn.Module):
-    """LayerNorm-act-conv x2 residual block (diffusion_network.py:639-710)."""
+    """LayerNorm-act-conv x2 residual block (diffusion_network.py:639-710).
+
+    When ``skip_in`` is given, the block behaves exactly as if called on
+    ``concat([x, skip_in], -1)``: the spatial LayerNorm's statistics are
+    per-(batch, channel) and its affine is shared across channels, so it
+    commutes with channel concat, and the two input convs split their
+    kernels (see _SplitInputConv) — no concat is ever materialized.
+    """
 
     out_channels: int
     sp: int
@@ -83,12 +201,18 @@ class MyResBlock(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        in_ch = x.shape[-1]
-        h = SpatialLayerNorm(self.sp, name="in_norm")(x)
-        h = leaky_relu_002(h)
-        h = conv3(self.out_channels, name="in_conv", dtype=self.dtype)(h)
-        h = SpatialLayerNorm(self.sp, name="out_norm")(h)
+    def __call__(self, x, deterministic: bool = True, skip_in=None):
+        in_ch = x.shape[-1] + (0 if skip_in is None else skip_in.shape[-1])
+        in_norm = SpatialLayerNorm(self.sp, dtype=self.dtype, name="in_norm")
+        if skip_in is None:
+            h = leaky_relu_002(in_norm(x))
+            h = conv3(self.out_channels, name="in_conv", dtype=self.dtype)(h)
+        else:
+            ha = leaky_relu_002(in_norm(x))
+            hb = leaky_relu_002(in_norm(skip_in))
+            h = _SplitInputConv(self.out_channels, kernel=3, name="in_conv",
+                                dtype=self.dtype)(ha, hb)
+        h = SpatialLayerNorm(self.sp, dtype=self.dtype, name="out_norm")(h)
         h = leaky_relu_002(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -96,12 +220,20 @@ class MyResBlock(nn.Module):
                   dtype=self.dtype)(h)
 
         if in_ch == self.out_channels:
-            skip = x
+            skip = x if skip_in is None else jnp.concatenate([x, skip_in], axis=-1)
         elif self.use_conv_skip:
-            skip = conv3(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
+            if skip_in is None:
+                skip = conv3(self.out_channels, name="skip_conv", dtype=self.dtype)(x)
+            else:
+                skip = _SplitInputConv(self.out_channels, kernel=3,
+                                       name="skip_conv", dtype=self.dtype)(x, skip_in)
         else:
-            skip = conv3(self.out_channels, kernel=1, name="skip_conv",
-                         dtype=self.dtype)(x)
+            if skip_in is None:
+                skip = conv3(self.out_channels, kernel=1, name="skip_conv",
+                             dtype=self.dtype)(x)
+            else:
+                skip = _SplitInputConv(self.out_channels, kernel=1,
+                                       name="skip_conv", dtype=self.dtype)(x, skip_in)
         return skip + h
 
 
@@ -196,6 +328,10 @@ class MyUNetModel(nn.Module):
     dropout: float = 0.0
     num_heads: int = 1
     dtype: object = None
+    # decompose decoder skip-concats into split-kernel convs (identical math
+    # and param tree; measured a wash on v5e at 64^3 — kept as an option, the
+    # literal concat is the default)
+    fuse_skip_concat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -241,10 +377,15 @@ class MyUNetModel(nn.Module):
                     h = h[:, :, :-1]
                 if skip.shape[3] < h.shape[3]:
                     h = h[:, :, :, :-1]
-                cat = jnp.concatenate([h, skip], axis=-1)
                 ch = self.model_channels * mult
-                h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
-                               name=f"up_{block}")(cat, deterministic)
+                if self.fuse_skip_concat:
+                    h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                                   name=f"up_{block}")(h, deterministic,
+                                                       skip_in=skip)
+                else:
+                    cat = jnp.concatenate([h, skip], axis=-1)
+                    h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                                   name=f"up_{block}")(cat, deterministic)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(self.num_heads, name=f"up_attn_{block}")(h)
                 if level and i == self.num_res_blocks:
@@ -253,7 +394,7 @@ class MyUNetModel(nn.Module):
                     sp = sizes.pop()
                 block += 1
 
-        h = SpatialLayerNorm(sp, name="out_norm")(h)
+        h = SpatialLayerNorm(sp, dtype=self.dtype, name="out_norm")(h)
         h = leaky_relu_002(h)
         return conv3(self.out_channels, zero_init=True, name="out_conv",
                      dtype=self.dtype)(h)
@@ -271,6 +412,7 @@ class SegmentationUNet(nn.Module):
     grid_size: int = 64
     num_classes: int = 8
     dtype: object = None
+    fuse_skip_concat: bool = False
 
     @nn.compact
     def __call__(self, feat_grid, deterministic: bool = True):
@@ -287,6 +429,7 @@ class SegmentationUNet(nn.Module):
             attention_resolutions=tuple(self.attention_resolutions),
             spatial_size=self.grid_size,
             dtype=self.dtype,
+            fuse_skip_concat=self.fuse_skip_concat,
             name="unet",
         )(x, deterministic)
 
@@ -303,6 +446,7 @@ class RegressionUNet(nn.Module):
     grid_size: int = 64
     out_channels: int = 3
     dtype: object = None
+    fuse_skip_concat: bool = False
 
     @nn.compact
     def __call__(self, feat_grid, deterministic: bool = True):
@@ -319,5 +463,6 @@ class RegressionUNet(nn.Module):
             attention_resolutions=tuple(self.attention_resolutions),
             spatial_size=self.grid_size,
             dtype=self.dtype,
+            fuse_skip_concat=self.fuse_skip_concat,
             name="unet",
         )(x, deterministic)
