@@ -88,13 +88,14 @@ CONV3_VIA_2D = True
 
 
 class _Conv3DVia2D(nn.Module):
-    """3x3x3 stride-1 SAME conv == sum_t conv2d(shift_depth(x, t-1), k[t]).
+    """3x3x3 SAME conv == sum_t conv2d(depth-tap_t(x), k[t]), stride 1 or 2.
 
     Param tree matches ``nn.Conv`` ({kernel (3,3,3,Cin,F), bias (F,)}), so
     torch checkpoints and the fp32 reference path load unchanged.
     """
 
     features: int
+    strides: int = 1
     zero_init: bool = False
     dtype: object = None
 
@@ -109,29 +110,42 @@ class _Conv3DVia2D(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if self.dtype is not None:
             x, kernel, bias = (t.astype(self.dtype) for t in (x, kernel, bias))
+        s = self.strides
+        d_out = (d + s - 1) // s
         dn = jax.lax.conv_dimension_numbers(
-            (n * d, h, w, c), (3, 3, c, self.features), ("NHWC", "HWIO", "NHWC")
+            (n * d_out, h, w, c), (3, 3, c, self.features), ("NHWC", "HWIO", "NHWC")
         )
         zslice = jnp.zeros((n, 1, h, w, c), x.dtype)
         out = None
         for t in range(3):
-            if t == 0:  # output depth di reads input depth di-1
-                xs = jnp.concatenate([zslice, x[:, :-1]], axis=1)
-            elif t == 1:
-                xs = x
-            else:       # reads input depth di+1
-                xs = jnp.concatenate([x[:, 1:], zslice], axis=1)
+            if s == 1:
+                if t == 0:    # output depth di reads input depth di-1
+                    xs = jnp.concatenate([zslice, x[:, :-1]], axis=1)
+                elif t == 1:
+                    xs = x
+                else:         # reads input depth di+1
+                    xs = jnp.concatenate([x[:, 1:], zslice], axis=1)
+            else:
+                # output depth di reads input depth s*di + t - 1: zero-pad
+                # one slice each side, take every s-th starting at t
+                xp = jnp.concatenate([zslice, x, zslice], axis=1)
+                xs = xp[:, t::s][:, :d_out]
             o = jax.lax.conv_general_dilated(
-                xs.reshape(n * d, h, w, c), kernel[t], (1, 1),
+                xs.reshape(n * d_out, h, w, c), kernel[t], (s, s),
                 [(1, 1), (1, 1)], dimension_numbers=dn,
             )
             out = o if out is None else out + o
-        return out.reshape(n, d, h, w, self.features) + bias
+        hw = out.shape[1:3]
+        return out.reshape(n, d_out, *hw, self.features) + bias
 
 
 def conv3(features, kernel=3, strides=1, zero_init=False, name=None, dtype=None):
+    # stride-2 decomposition measured SLOWER on v5e (120 vs 112 ms/pair:
+    # the strided depth-slice gather outweighs the native-conv savings) —
+    # only stride-1 convs take the 2D path
     if CONV3_VIA_2D and kernel == 3 and strides == 1:
-        return _Conv3DVia2D(features, zero_init=zero_init, dtype=dtype, name=name)
+        return _Conv3DVia2D(features, strides=strides, zero_init=zero_init,
+                            dtype=dtype, name=name)
     return nn.Conv(
         features,
         kernel_size=(kernel, kernel, kernel),

@@ -115,3 +115,28 @@ def test_full_size_config_converts():
     out = jmodel.apply(params, x)
     assert out.shape == (1, 64, 64, 64, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestConv3DVia2D:
+    def test_matches_native_conv3d(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        import pixie_tpu.models.unet3d as U
+
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 9, 9, 9, 6)).astype(np.float32))
+        for strides in (1, 2):
+            ref = U.nn.Conv(5, kernel_size=(3, 3, 3),
+                            strides=(strides,) * 3,
+                            padding=[(1, 1)] * 3, name="c")
+            p = ref.init(jax.random.PRNGKey(1), x)
+            p = jax.tree_util.tree_map(
+                lambda a: a + 0.1 * np.random.default_rng(0)
+                .normal(size=a.shape).astype(a.dtype), p)
+            got = U._Conv3DVia2D(5, strides=strides, name="c").apply(p, x)
+            want = ref.apply(p, x)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5, rtol=1e-5)
