@@ -134,7 +134,7 @@ def main():
         unet_rate = bench_unet(batch=1, iters=2, grid=16, feat_ch=32)
         mpm_rate = None if args.skip_mpm else bench_mpm(2000, 20, 2, fast=False)
     else:
-        unet_rate = bench_unet(batch=args.batch, iters=5)
+        unet_rate = bench_unet(batch=args.batch, iters=10)
         mpm_rate = None if args.skip_mpm else bench_mpm(args.particles, 100, 5)
 
     if mpm_rate is not None:
