@@ -152,9 +152,12 @@ def generate_neural_segmentation(cfg, paths):
     from pixie_tpu.utils.norm import load_normalization_ranges  # noqa: PLC0415
     from pixie_tpu.voxel.map_pred_to_coords import map_pred_to_ply  # noqa: PLC0415
 
-    ranges = load_normalization_ranges(
-        Path(cfg.paths.normalization_stats_dir) / "normalization_ranges.yaml"
-    )
+    ranges_path = Path(cfg.paths.normalization_stats_dir) / "normalization_ranges.yaml"
+    if not ranges_path.exists():
+        # fall back to the repo-shipped dataset stats (normalization_stats/,
+        # mirroring the reference's normalization_stats/ payload)
+        ranges_path = Path(__file__).parent / "normalization_stats" / "normalization_ranges.yaml"
+    ranges = load_normalization_ranges(ranges_path)
     dataset = MaterialVoxelDataset(
         render_out.parent, ranges,
         grid_size=cfg.training.default_grid_size,
@@ -206,11 +209,20 @@ def run_physics_simulation(cfg, paths, material_ply):
         return
     from pixie_tpu.sim.driver import run_simulation  # noqa: PLC0415
 
-    obj_class = cfg.obj_class or "tree"
-    sim_cfg = (
-        Path(cfg.paths.physgaussian_config_dir) / "objaverse"
-        / f"custom_{obj_class}_config.json"
-    )
+    # config resolution mirrors reference get_physics_config_path
+    # (pixie/utils.py:370-375): objaverse objects use the per-class config,
+    # real scenes a per-object one
+    if cfg.get("is_objaverse_object", True):
+        obj_class = cfg.obj_class or "tree"
+        sim_cfg = (
+            Path(cfg.paths.physgaussian_config_dir) / "objaverse"
+            / f"custom_{obj_class}_config.json"
+        )
+    else:
+        sim_cfg = (
+            Path(cfg.paths.physgaussian_config_dir) / "real_scene"
+            / f"custom_{cfg.obj_id}_config.json"
+        )
     if not sim_cfg.exists():
         raise FileNotFoundError(f"physics config not found: {sim_cfg}")
     run_simulation(

@@ -294,6 +294,28 @@ class TestParams:
         with pytest.raises(ValueError):
             decode_params({"nu": 0.7})
 
+    def test_all_shipped_configs_decode_and_bcs_build(self):
+        """Every per-class scene JSON shipped in config/ decodes and its
+        boundary conditions compile into the static BC schema."""
+        from pathlib import Path
+
+        from pixie_tpu.sim.bc import build_boundary_conditions
+        from pixie_tpu.sim.params import decode_param_json
+
+        root = Path(__file__).resolve().parents[1] / "config"
+        cfgs = sorted((root / "objaverse").glob("custom_*_config.json")) + sorted(
+            (root / "real_scene").glob("custom_*_config.json")
+        )
+        assert len(cfgs) == 22, f"expected 22 shipped scene configs, found {len(cfgs)}"
+        positions = np.random.default_rng(0).uniform(0.5, 1.5, (64, 3)).astype(np.float32)
+        for cfg_path in cfgs:
+            mat, bc, time_p, prep, cam = decode_param_json(cfg_path)
+            assert 0.0 <= mat["nu"] <= 0.5
+            assert time_p["frame_num"] > 0
+            if isinstance(bc, list) and bc:
+                built = build_boundary_conditions(bc, time_p, positions)
+                assert len(built) == len(bc), cfg_path.name
+
 
 class TestBCsFromJson:
     def test_build_all_bc_types(self):
