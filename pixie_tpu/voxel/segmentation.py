@@ -94,6 +94,83 @@ def clip_part_segmentation(
     return coords_flat, part_labels, part_scores, metrics
 
 
+def local_post_process_segmentation(
+    coords: np.ndarray, part_labels: np.ndarray, k: int = 200, chunk: int = 4096
+) -> np.ndarray:
+    """k-NN majority-vote label smoothing (segmentation.py:190-229).
+
+    The reference loops a sklearn KDTree query per point; here the whole vote
+    is three MXU contractions per chunk: a squared-distance matrix
+    (|q|^2+|p|^2-2 q.p), a top-k threshold per row, and a neighbor-mask x
+    one-hot-label matmul giving per-class counts.  Ties at the k-th distance
+    include all equidistant neighbors (vote unchanged in the generic case);
+    class ties break to the smallest label, matching scipy.stats.mode.
+    """
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    n = len(coords)
+    k = min(k, n)
+    labels = np.asarray(part_labels)
+    num_classes = int(labels.max()) + 1
+    pts = jnp.asarray(coords, jnp.float32)
+    onehot = jax.nn.one_hot(jnp.asarray(labels), num_classes, dtype=jnp.float32)
+    p_sq = (pts * pts).sum(-1)
+
+    @jax.jit
+    def vote(q):
+        d = (q * q).sum(-1, keepdims=True) + p_sq[None, :] - 2.0 * q @ pts.T
+        kth = -jax.lax.top_k(-d, k)[0][:, -1:]
+        mask = (d <= kth).astype(jnp.float32)
+        counts = mask @ onehot
+        return jnp.argmax(counts, axis=1)
+
+    out = np.empty(n, labels.dtype)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        q = jnp.zeros((chunk, 3), jnp.float32).at[: e - s].set(pts[s:e])
+        out[s:e] = np.asarray(vote(q))[: e - s]
+    return out
+
+
+def connected_component_cleanup(
+    coords: np.ndarray, part_labels: np.ndarray, radius: float = 0.05
+) -> np.ndarray:
+    """Keep only the largest connected component per label; relabel smaller
+    islands to -1 (segmentation.py:592-630 connected_component_cleanup +
+    reassign_small_components).
+
+    Adjacency = point pairs within ``radius`` sharing a label; components via
+    scipy's sparse graph machinery instead of the reference's per-point BFS.
+    Host-side: runs once per object on <=64^3 occupied voxels.
+    """
+    from scipy import sparse  # noqa: PLC0415
+    from scipy.spatial import cKDTree  # noqa: PLC0415
+
+    labels = np.asarray(part_labels).copy()
+    n = len(labels)
+    if n == 0:
+        return labels
+    pairs = cKDTree(coords).query_pairs(radius, output_type="ndarray")
+    if len(pairs):
+        same = labels[pairs[:, 0]] == labels[pairs[:, 1]]
+        pairs = pairs[same]
+    row = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    col = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    adj = sparse.coo_matrix(
+        (np.ones(len(row), np.int8), (row, col)), shape=(n, n)
+    ).tocsr()
+    n_comp, comp = sparse.csgraph.connected_components(adj, directed=False)
+    for lbl in np.unique(labels):
+        comp_ids, counts = np.unique(comp[labels == lbl], return_counts=True)
+        if len(comp_ids) <= 1:
+            continue
+        keep = comp_ids[np.argmax(counts)]
+        islands = (labels == lbl) & (comp != keep)
+        labels[islands] = -1
+    return labels
+
+
 def save_segmented_point_cloud(
     coords: np.ndarray,
     part_labels: np.ndarray,
@@ -170,6 +247,7 @@ def generate_material_segmentation(
     query_embs=None,
     softmax_temperature: float = 0.1,
     background_id: int = 7,
+    use_spatial_smoothing: bool = False,
 ):
     """VLM results (material_dict keyed by query terms) -> labeled artifacts
     (the generate_material_segmentation flow, pixie/utils.py:629-723)."""
@@ -178,6 +256,9 @@ def generate_material_segmentation(
         grid_feature_path, part_queries, text_encoder, query_embs,
         softmax_temperature,
     )
+    if use_spatial_smoothing:
+        # reference segmentation.py:662-664 (--use_spatial_smoothing)
+        labels = local_post_process_segmentation(coords, labels)
     ply, grid = save_segmented_point_cloud(
         coords, labels, scores, vlm_results["material_dict"], part_queries,
         output_dir, grid_feature_path, background_id,
