@@ -45,6 +45,16 @@ class SegmentationAgent(Agent):
         super().__init__(cfg, backend)
 
     def _make_system_instruction(self):
+        # per-class few-shot instruction library when the class is curated
+        # (reference vlm_seg.py:26-27 uses INSTRUCTION_FUNCTIONS[obj_class])
+        from pixie_tpu.vlm_labeler.class_instructions import (  # noqa: PLC0415
+            INSTRUCTION_FUNCTIONS,
+        )
+
+        if self.obj_class in INSTRUCTION_FUNCTIONS:
+            return INSTRUCTION_FUNCTIONS[self.obj_class](
+                self.num_alternative_queries
+            )
         return textwrap.dedent(f"""\
             You label 3D objects of class "{self.obj_class}" with physical
             properties per semantic part: density (kg/m^3), Young's modulus E

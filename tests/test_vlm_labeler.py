@@ -181,3 +181,68 @@ class TestClipSegmentation:
         v = read_ply(out["ply"])["vertex"]
         assert len(v) == int(mask.sum())
         assert set(np.unique(v["material_id"])) <= {0, 1}
+
+
+class TestClassInstructions:
+    """Per-class few-shot instruction library
+    (reference vlm_seg_class_instruction.py:15-374)."""
+
+    def test_all_eleven_classes_present(self):
+        from pixie_tpu.vlm_labeler.class_instructions import INSTRUCTION_CONFIGS
+
+        assert set(INSTRUCTION_CONFIGS) == {
+            "tree", "flowers", "shrub", "grass", "rubber_ducks_and_toys",
+            "sport_balls", "soda_cans", "metal_crates", "sand",
+            "jello_block", "snow_and_mud",
+        }
+
+    def test_generate_instruction_renders_payload(self):
+        from pixie_tpu.vlm_labeler.class_instructions import generate_instruction
+
+        text = generate_instruction("tree", 2)
+        # curated example values and queries appear in the rendered prompt
+        assert '"pot"' in text and '"trunk"' in text and '"leaves"' in text
+        assert "reddish-brown" in text
+        assert 'material_dict["leaves"]["E"] < material_dict["trunk"]["E"]' in text
+        assert "2 alternative queries" in text
+        # material id legend rendered from the solver's table
+        assert '"jelly"' in text and '"stationary"' in text
+
+    def test_single_part_classes_forbid_segmentation(self):
+        from pixie_tpu.vlm_labeler.class_instructions import (
+            INSTRUCTION_CONFIGS,
+            generate_instruction,
+        )
+
+        for cls in ("soda_cans", "sport_balls", "jello_block", "sand",
+                    "metal_crates", "rubber_ducks_and_toys", "snow_and_mud"):
+            cfg = INSTRUCTION_CONFIGS[cls]
+            assert len(cfg.example_material_dict) == 1
+            assert "ONE" in generate_instruction(cls, 3)
+
+    def test_material_ids_match_solver_table(self):
+        from pixie_tpu.sim.types import get_material_id
+        from pixie_tpu.vlm_labeler.class_instructions import INSTRUCTION_CONFIGS
+
+        assert (INSTRUCTION_CONFIGS["soda_cans"].example_material_dict["can"]
+                ["material_id"] == get_material_id("metal"))
+        assert (INSTRUCTION_CONFIGS["sand"].example_material_dict["sand"]
+                ["material_id"] == get_material_id("sand"))
+        assert (INSTRUCTION_CONFIGS["snow_and_mud"].example_material_dict
+                ["snow_and_mud"]["material_id"] == get_material_id("snow"))
+        assert (INSTRUCTION_CONFIGS["tree"].example_material_dict["pot"]
+                ["material_id"] == get_material_id("stationary"))
+
+    def test_agent_uses_class_library_when_available(self, tmp_path):
+        agent = SegmentationAgent(
+            AgentConfig("mock", str(tmp_path)), obj_class="tree",
+            num_alternative_queries=4, backend=MockVLM(),
+        )
+        assert "ficus tree" in agent.system_instruction
+        assert "4 alternative queries" in agent.system_instruction
+        # non-curated classes fall back to the generic instruction
+        generic = SegmentationAgent(
+            AgentConfig("mock", str(tmp_path / "g")), obj_class="chair",
+            backend=MockVLM(),
+        )
+        assert "chair" in generic.system_instruction
