@@ -199,6 +199,20 @@ class Trainer:
         self._data_sharding = data_sharding
         self._repl = repl
 
+    def _batch_sharding(self, ndim: int) -> NamedSharding:
+        """Batch over dp; voxel z-axis over sp when the mesh has one.
+
+        Spatial (z) sharding rides XLA GSPMD auto-partitioning: the convs get
+        halo exchanges, the spatial-LayerNorm reductions an sp-axis psum —
+        nothing model-side changes.  This replaces the reference's
+        DDP-batch-only parallelism (training_utils.py:50-55) with dp x sp.
+        """
+        if ndim >= 4 and self.mesh.shape.get("sp", 1) > 1:
+            spec = P("dp", "sp", *([None] * (ndim - 2)))
+        else:
+            spec = P("dp", *([None] * (ndim - 1)))
+        return NamedSharding(self.mesh, spec)
+
     def _pad_batch(self, batch):
         """Pad the global batch to a multiple of the dp axis; returns sample
         weights zeroing the padded rows (replaces DistributedSampler padding)."""
@@ -215,7 +229,8 @@ class Trainer:
         batch = tuple(np.asarray(b) for b in batch)
         batch, w = self._pad_batch(batch)
         batch = tuple(
-            jax.device_put(jnp.asarray(b), self._data_sharding) for b in batch
+            jax.device_put(jnp.asarray(b), self._batch_sharding(b.ndim))
+            for b in batch
         ) + (jax.device_put(jnp.asarray(w), NamedSharding(self.mesh, P("dp"))),)
         self.params, self.opt_state, loss, aux = self._step_fn(
             self.params, self.opt_state, *batch
@@ -226,7 +241,8 @@ class Trainer:
         cfg = self.cfg
         batch = tuple(np.asarray(b) for b in batch)
         batch, _ = self._pad_batch(batch)
-        feat = jax.device_put(jnp.asarray(batch[0]), self._data_sharding)
+        feat = jax.device_put(jnp.asarray(batch[0]),
+                              self._batch_sharding(batch[0].ndim))
         out = jax.jit(self.model.apply)({"params": self.params}, feat)
         if cfg.mode == "discrete":
             mat_id = jnp.asarray(batch[1])

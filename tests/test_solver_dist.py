@@ -1,0 +1,100 @@
+"""Multi-chip MPM: sharded-particle substeps on the virtual 8-device mesh
+must match the single-device path numerically (pixie_tpu/sim/solver_dist.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pixie_tpu.parallel.mesh import get_mesh
+from pixie_tpu.sim.bc import make_surface_collider
+from pixie_tpu.sim.solver import simulate_substeps
+from pixie_tpu.sim.solver_dist import shard_particles, simulate_substeps_sharded
+from pixie_tpu.sim.types import MPMConfig, finalize_mu_lam, make_state
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the virtual 8-device mesh"
+)
+
+
+def _state(n, seed=0, material=0, **kw):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0.7, 1.3, (n, 3)).astype(np.float32)
+    return finalize_mu_lam(make_state(
+        x, np.full(n, 1e-6, np.float32), density=300.0, E=2e5, nu=0.35,
+        material=material, **kw,
+    ))
+
+
+class TestShardedSolver:
+    def test_matches_single_device_10k(self):
+        """10k particles, 30 substeps: sharded == single-device (verdict #7)."""
+        n = 10_000
+        st = _state(n)
+        cfg = MPMConfig(n_grid=32, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(0,))
+        ref = simulate_substeps(st, cfg, (), jnp.float32(0.0),
+                                jnp.float32(1e-4), 30)
+
+        mesh = get_mesh(dp=4, sp=2)
+        sharded = shard_particles(mesh, _state(n))
+        out = simulate_substeps_sharded(sharded, cfg, (), jnp.float32(0.0),
+                                        jnp.float32(1e-4), 30, mesh)
+        got = np.asarray(out.x)[:n]
+        np.testing.assert_allclose(got, np.asarray(ref.x), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.v)[:n], np.asarray(ref.v),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.F)[:n], np.asarray(ref.F),
+                                   atol=1e-6)
+
+    def test_padding_particles_inert(self):
+        """N not divisible by the mesh: padded particles stay inert."""
+        n = 1003  # prime-ish, pads to 1008 on 8 devices
+        mesh = get_mesh(dp=8, sp=1)
+        st = shard_particles(mesh, _state(n, seed=1))
+        assert st.x.shape[0] % 8 == 0
+        assert int(np.asarray(st.selection)[n:].min()) == 1
+        cfg = MPMConfig(n_grid=24, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(0,))
+        out = simulate_substeps_sharded(st, cfg, (), jnp.float32(0.0),
+                                        jnp.float32(1e-4), 10, mesh)
+        # padded rows never move and contribute nothing
+        pad_x = np.asarray(out.x)[n:]
+        np.testing.assert_array_equal(pad_x, np.asarray(st.x)[n:])
+        ref = simulate_substeps(_state(n, seed=1), cfg, (), jnp.float32(0.0),
+                                jnp.float32(1e-4), 10)
+        np.testing.assert_allclose(np.asarray(out.x)[:n], np.asarray(ref.x),
+                                   atol=1e-6)
+
+    def test_with_grid_bcs_and_sand(self):
+        """Grid BCs (replicated) + sand return mapping under sharding."""
+        n = 4096
+        cfg = MPMConfig(n_grid=24, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(2,))
+        bcs = (make_surface_collider((1.0, 1.0, 0.6), (0.0, 0.0, 1.0),
+                                     surface="sticky"),)
+        ref = simulate_substeps(_state(n, seed=2, material=2), cfg, bcs,
+                                jnp.float32(0.0), jnp.float32(1e-4), 25)
+        mesh = get_mesh(dp=2, sp=4)
+        st = shard_particles(mesh, _state(n, seed=2, material=2))
+        out = simulate_substeps_sharded(st, cfg, bcs, jnp.float32(0.0),
+                                        jnp.float32(1e-4), 25, mesh)
+        np.testing.assert_allclose(np.asarray(out.x)[:n], np.asarray(ref.x),
+                                   atol=1e-6)
+        # the sand return mapping branches on delta_gamma/tr > 0; psum
+        # reordering can flip that branch for borderline particles, so F is
+        # compared statistically: >=99% of entries track at 1e-6, none blow up
+        diff = np.abs(np.asarray(out.F)[:n] - np.asarray(ref.F))
+        assert (diff <= 1e-6).mean() > 0.99
+        assert diff.max() < 5e-2
+
+    def test_output_stays_sharded(self):
+        """The result keeps the particle sharding (no implicit gather)."""
+        mesh = get_mesh(dp=8, sp=1)
+        st = shard_particles(mesh, _state(800, seed=3))
+        cfg = MPMConfig(n_grid=16, grid_lim=2.0, active_materials=(0,))
+        out = simulate_substeps_sharded(st, cfg, (), jnp.float32(0.0),
+                                        jnp.float32(1e-4), 5, mesh)
+        shard_axes = {s for s in out.x.sharding.spec if s is not None}
+        assert shard_axes, "particle axis lost its sharding"

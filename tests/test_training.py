@@ -175,3 +175,37 @@ class TestInference:
         assert (tmp_path / "out" / "metrics.json").exists()
         m = json.loads((tmp_path / "out" / "metrics.json").read_text())
         assert "seg_acc" in m and "n" in m["seg_acc"]
+
+
+class TestSpatialSharding:
+    """Voxel z-axis sharded over the sp mesh axis (dp x sp GSPMD)."""
+
+    def test_sp_sharded_step_matches_dp_only(self, fixture_dataset):
+        import jax
+
+        from pixie_tpu.parallel.mesh import get_mesh
+        from pixie_tpu.train.trainer import TrainConfig, Trainer
+
+        if len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs the virtual 8-device mesh")
+        feat, cont, mat_id, mask, info = fixture_dataset[0]
+        batch = (
+            np.repeat(feat[None], 4, 0), np.repeat(mat_id[None], 4, 0),
+            np.repeat(mask[None], 4, 0),
+        )
+
+        def run(mesh):
+            cfg = TrainConfig(mode="discrete", batch_size=4, **SMALL)
+            t = Trainer(cfg, mesh=mesh)
+            t.setup(steps_per_epoch=1)
+            loss, aux = t.train_step(batch)
+            return float(loss), t
+
+        loss_dp, _ = run(get_mesh(dp=8, sp=1))
+        loss_sp, trainer = run(get_mesh(dp=4, sp=2))
+        assert abs(loss_dp - loss_sp) < 1e-4
+        # the input really is z-sharded: the jitted step saw a (dp, sp) layout
+        sh = trainer._batch_sharding(5)
+        assert sh.spec == jax.sharding.PartitionSpec("dp", "sp", None, None, None)
