@@ -65,12 +65,34 @@ class SpatialLayerNorm(nn.Module):
         # in the compute dtype — the fp32-param path above would otherwise
         # promote the whole activation to fp32 and back around every LN
         # (profiled: ~3 ms of multiply_convert + copies per 64^3 net pass)
-        # one-pass stats: sum and sum-of-squares share the single activation
-        # read (separate mean/var passes each re-read the full tensor)
-        xf = x.astype(jnp.float32)
         n_sp = x.shape[1] * x.shape[2] * x.shape[3]
-        s1 = xf.sum(axis=(1, 2, 3), keepdims=True)
-        s2 = (xf * xf).sum(axis=(1, 2, 3), keepdims=True)
+        if LN_STATS_VIA_DOT:
+            # MXU-dot statistics: the spatial reductions lower to slow
+            # cross-sublane convert_reduce fusions (~0.5 ms each, ~17 ms/pair
+            # profiled); instead contract the spatial dims on the MXU.
+            # sum      = ones(D,H,W) . x                    -> (B, C)
+            # sum-of-squares = diag(x . x over spatial)     -> (B, C, C) diag
+            # bf16 x bf16 products are exact in fp32 accumulation (8-bit
+            # mantissas -> 16-bit products), so this is MORE accurate than
+            # the converted-elementwise square it replaces.
+            ones_sp = jnp.ones(x.shape[1:4], x.dtype)
+            s1 = jax.lax.dot_general(
+                x, ones_sp, (((1, 2, 3), (0, 1, 2)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, C)
+            gram = jax.lax.dot_general(
+                x, x, (((1, 2, 3), (1, 2, 3)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (B, C, C)
+            s2 = jnp.diagonal(gram, axis1=1, axis2=2)  # (B, C)
+            s1 = s1[:, None, None, None, :]
+            s2 = s2[:, None, None, None, :]
+        else:
+            # one-pass stats: sum and sum-of-squares share the single
+            # activation read
+            xf = x.astype(jnp.float32)
+            s1 = xf.sum(axis=(1, 2, 3), keepdims=True)
+            s2 = (xf * xf).sum(axis=(1, 2, 3), keepdims=True)
         mean = s1 / n_sp
         var = jnp.maximum(s2 / n_sp - mean * mean, 0.0)
         scale = jax.lax.rsqrt(var + self.eps)
@@ -85,6 +107,19 @@ class SpatialLayerNorm(nn.Module):
 # pass); the 2D decomposition rides the tuned 2D conv path with identical
 # math and an identical param tree.  Trace-time switch.
 CONV3_VIA_2D = True
+
+# Shift the conv OUTPUTS instead of the inputs: slicing the input feeds a
+# conv, so XLA must materialize each depth-shifted copy (profiled: ~9 ms of
+# slice copies per pair); running the three taps on the unshifted input and
+# summing depth-shifted outputs turns the shifts into one fusible
+# concat-add.  Identical math.  Trace-time switch.
+CONV3_SHIFT_OUTPUTS = True
+
+# Compute SpatialLayerNorm statistics as MXU contractions instead of
+# VPU reductions (see SpatialLayerNorm).  MEASURED SLOWER on v5e (120.8 vs
+# 114.1 ms/pair): the (C,S)x(S,C) Gram needs an operand transpose that costs
+# more than the reduce it replaces.  Kept for reference; default off.
+LN_STATS_VIA_DOT = False
 
 
 class _Conv3DVia2D(nn.Module):
@@ -115,6 +150,22 @@ class _Conv3DVia2D(nn.Module):
         dn = jax.lax.conv_dimension_numbers(
             (n * d_out, h, w, c), (3, 3, c, self.features), ("NHWC", "HWIO", "NHWC")
         )
+        if s == 1 and CONV3_SHIFT_OUTPUTS:
+            # out(d) = sum_t conv2d(x(d+t-1), k[t]) = sum_t y_t(d+t-1) where
+            # y_t = conv2d of ALL depth slices with tap t's 2D kernel; the
+            # depth shifts land on the outputs, where they fuse into one add.
+            flat = x.reshape(n * d, h, w, c)
+            ys = [
+                jax.lax.conv_general_dilated(
+                    flat, kernel[t], (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=dn,
+                ).reshape(n, d, h, w, self.features)
+                for t in range(3)
+            ]
+            zs = jnp.zeros((n, 1, h, w, self.features), ys[0].dtype)
+            out = (jnp.concatenate([zs, ys[0][:, :-1]], axis=1) + ys[1]
+                   + jnp.concatenate([ys[2][:, 1:], zs], axis=1))
+            return out + bias
         zslice = jnp.zeros((n, 1, h, w, c), x.dtype)
         out = None
         for t in range(3):
@@ -252,9 +303,15 @@ class MyResBlock(nn.Module):
 
 
 class AttentionBlock(nn.Module):
-    """Self-attention over flattened voxels (diffusion_network.py:192-262)."""
+    """Self-attention over flattened voxels (diffusion_network.py:192-262).
+
+    ``dtype`` keeps the always-on middle-block attention in the compute dtype
+    (fp32 params would otherwise re-promote the bf16 activations through
+    GroupNorm/Dense); the QK softmax stays fp32 as in the reference.
+    """
 
     num_heads: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -262,8 +319,9 @@ class AttentionBlock(nn.Module):
         t = d * h * w
         flat = x.reshape(n, t, c)
 
-        xn = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-5, name="norm")(flat)
-        qkv = nn.Dense(3 * c, name="qkv")(xn)  # 1x1 conv == dense over channels
+        xn = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-5, name="norm",
+                          dtype=self.dtype)(flat)
+        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(xn)  # 1x1 conv == dense over channels
         qkv = qkv.reshape(n * self.num_heads, t, 3 * (c // self.num_heads))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         ch = c // self.num_heads
@@ -274,7 +332,8 @@ class AttentionBlock(nn.Module):
         weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(weight.dtype)
         a = jnp.einsum("bts,bsc->btc", weight, v, precision="highest")
         a = a.reshape(n, t, c)
-        a = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj_out")(a)
+        a = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj_out",
+                     dtype=self.dtype)(a)
         return (flat + a).reshape(n, d, h, w, c)
 
 
@@ -364,7 +423,8 @@ class MyUNetModel(nn.Module):
                 h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
                                name=f"down_{block}")(h, deterministic)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(self.num_heads, name=f"down_attn_{block}")(h)
+                    h = AttentionBlock(self.num_heads, dtype=self.dtype,
+                                       name=f"down_attn_{block}")(h)
                 hs.append(h)
                 block += 1
             if level != len(self.channel_mult) - 1:
@@ -376,7 +436,7 @@ class MyUNetModel(nn.Module):
 
         h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype, name="middle_0")(
             h, deterministic)
-        h = AttentionBlock(self.num_heads, name="middle_attn")(h)
+        h = AttentionBlock(self.num_heads, dtype=self.dtype, name="middle_attn")(h)
         h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype, name="middle_2")(
             h, deterministic)
 
@@ -401,7 +461,8 @@ class MyUNetModel(nn.Module):
                     h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
                                    name=f"up_{block}")(cat, deterministic)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(self.num_heads, name=f"up_attn_{block}")(h)
+                    h = AttentionBlock(self.num_heads, dtype=self.dtype,
+                                       name=f"up_attn_{block}")(h)
                 if level and i == self.num_res_blocks:
                     h = Upsample(ch, dtype=self.dtype, name=f"upsample_{block}")(h)
                     ds //= 2

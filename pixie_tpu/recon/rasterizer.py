@@ -6,13 +6,28 @@ blending of depth-sorted gaussians) and backward.cu.  The CUDA version
 duplicates keys per (tile, depth) and radix-sorts; per-pixel threads then
 walk their tile's range.
 
-TPU-first redesign: one global depth sort, then a ``lax.scan`` over fixed
-gaussian chunks; each chunk blends against the whole image with an exclusive
-within-chunk transmittance cumprod — front-to-back order is preserved
-globally by the sort and within the chunk by the cumprod, so the compositing
-is exactly the reference's, but fully dense and reverse-mode differentiable
-(the scan body is rematerialized to bound memory).  Tile culling is a later
-optimization; correctness and differentiability first.
+TPU-first redesign, two paths:
+
+``rasterize``        — one global depth sort + a ``lax.scan`` over fixed
+                       gaussian chunks blending against the whole image
+                       (dense O(N*H*W); exact; the small-scene oracle).
+``rasterize_tiled``  — the scalable path mirroring the CUDA tile pipeline
+                       (rasterizer_impl.cu:70-116 duplicateWithKeys /
+                       identifyTileRanges) with TPU-native machinery:
+                       global depth sort -> fixed-fanout (tile,gaussian) key
+                       duplication over each splat's 3-sigma tile bbox ->
+                       ONE ``lax.sort`` of integer keys -> per-tile
+                       capacity-capped index lists via searchsorted ->
+                       dense per-tile front-to-back blending vectorized over
+                       all tiles.  The tile gather uses a custom VJP whose
+                       backward is a sort + cumsum segment-reduction —
+                       scatter-free, because TPU scatter-adds serialize
+                       (docs/DESIGN.md).
+
+Approximations of the tiled path vs the dense oracle (both bounded and
+configurable): a splat contributes to at most ``max_tiles_side``^2 tiles
+around its bbox, and each tile blends its closest ``tile_cap`` splats in
+exact depth order; both truncations are measured in tests.
 """
 
 from __future__ import annotations
@@ -162,3 +177,195 @@ def rasterize(params, viewmat, cam: Camera, bg_color=1.0, scaling_modifier=1.0,
     )
     color = color + bg_color * trans[..., None]
     return color, 1.0 - trans
+
+
+# ---------------------------------------------------------------------------
+# tiled path
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _tile_gather(data, gidx):
+    """data (N, F) gathered at gidx (T, C) -> (T, C, F).
+
+    Forward is a plain row gather (fast on TPU).  The backward avoids XLA's
+    serial scatter-add: flatten the cotangents, sort them by gaussian index,
+    cumsum, and difference at segment boundaries found with searchsorted."""
+    return data[gidx]
+
+
+def _tile_gather_fwd(data, gidx):
+    return data[gidx], (gidx, data.shape[0])
+
+
+def _tile_gather_bwd(res, ct):
+    gidx, n = res
+    t, c = gidx.shape
+    f = ct.shape[-1]
+    flat_idx = gidx.reshape(-1)
+    flat_ct = ct.reshape(-1, f)
+    order = jnp.argsort(flat_idx)
+    sidx = flat_idx[order]
+    sct = flat_ct[order]
+    csum = jnp.cumsum(sct.astype(jnp.float32), axis=0)
+    csum = jnp.concatenate([jnp.zeros((1, f), jnp.float32), csum], axis=0)
+    # segment [lo_i, hi_i) of rows belonging to gaussian i
+    lo = jnp.searchsorted(sidx, jnp.arange(n), side="left")
+    hi = jnp.searchsorted(sidx, jnp.arange(n), side="right")
+    grad = (csum[hi] - csum[lo]).astype(ct.dtype)
+    return grad, None
+
+
+_tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "tile", "tile_cap", "max_tiles_side", "chunk"),
+)
+def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
+                    scaling_modifier=1.0, tile: int = 16, tile_cap: int = 512,
+                    max_tiles_side: int = 6, chunk: int = 128,
+                    mean2d_offset=None):
+    """Tile-culled differentiable rasterization (the reference's tile
+    pipeline, rasterizer_impl.cu:70-116, as dense XLA).
+
+    Returns (image (H,W,3), alpha (H,W)).  H and W must be multiples of
+    ``tile``.
+    """
+    assert cam.height % tile == 0 and cam.width % tile == 0
+    assert tile_cap % chunk == 0, "tile_cap must be a multiple of chunk"
+    ty_n, tx_n = cam.height // tile, cam.width // tile
+    n_tiles = ty_n * tx_n
+
+    means2d, cov2d, depth, rgb, opacity = project_gaussians(
+        params, viewmat, cam, scaling_modifier
+    )
+    if mean2d_offset is not None:
+        means2d = means2d + mean2d_offset
+    n = means2d.shape[0]
+
+    # depth order once; from here on index order == blend order
+    order = jnp.argsort(depth)
+    means2d, cov2d, rgb, opacity = (
+        means2d[order], cov2d[order], rgb[order], opacity[order]
+    )
+
+    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2
+    det = jnp.maximum(det, 1e-8)
+    conic = jnp.stack(
+        [cov2d[:, 2] / det, -cov2d[:, 1] / det, cov2d[:, 0] / det], -1
+    )
+    # 3-sigma pixel radius (forward.cu:205-209: 3*sqrt(max eigenvalue))
+    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    # tile bbox, truncated to max_tiles_side per axis around the bbox start
+    tx0 = jnp.floor((means2d[:, 0] - radius) / tile).astype(jnp.int32)
+    ty0 = jnp.floor((means2d[:, 1] - radius) / tile).astype(jnp.int32)
+    tx1 = jnp.floor((means2d[:, 0] + radius) / tile).astype(jnp.int32)
+    ty1 = jnp.floor((means2d[:, 1] + radius) / tile).astype(jnp.int32)
+    tx0c, tx1c = jnp.clip(tx0, 0, tx_n - 1), jnp.clip(tx1, 0, tx_n - 1)
+    ty0c, ty1c = jnp.clip(ty0, 0, ty_n - 1), jnp.clip(ty1, 0, ty_n - 1)
+    on_screen = (
+        (tx1 >= 0) & (tx0 <= tx_n - 1) & (ty1 >= 0) & (ty0 <= ty_n - 1)
+        & (opacity > 0.0)
+    )
+
+    # fixed-fanout duplication: key = tile_id * N + depth_rank; invalid
+    # slots get the sentinel key n_tiles * N.  int32 keys require
+    # (n_tiles + 1) * N < 2^31 — ample for 800^2/16 tiles at 10^6 splats.
+    assert (n_tiles + 1) * n < 2**31, "tile keys overflow int32"
+    ks = max_tiles_side
+    di = jnp.arange(ks, dtype=jnp.int32)
+    gx = tx0c[:, None, None] + di[None, :, None]          # (N, ks, 1)
+    gy = ty0c[:, None, None] + di[None, None, :]          # (N, 1, ks) -> bc
+    gx = jnp.broadcast_to(gx, (n, ks, ks))
+    gy = jnp.broadcast_to(gy, (n, ks, ks))
+    slot_valid = (
+        (gx <= tx1c[:, None, None]) & (gy <= ty1c[:, None, None])
+        & on_screen[:, None, None]
+    )
+    tile_id = gy * tx_n + gx
+    rank = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    key = jnp.where(
+        slot_valid,
+        tile_id * n + rank,
+        jnp.int32(n_tiles * n),
+    ).reshape(-1)
+    skey = jax.lax.sort(key)
+
+    # per-tile ranges + capacity-capped slot table
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * n
+    starts = jnp.searchsorted(skey, bounds[:-1], side="left")
+    ends = jnp.searchsorted(skey, bounds[1:], side="left")
+    slots = starts[:, None] + jnp.arange(tile_cap)[None, :]      # (T, C)
+    slot_ok = slots < ends[:, None]
+    gidx = (
+        jnp.take(skey, jnp.clip(slots, 0, skey.shape[0] - 1)) % n
+    ).astype(jnp.int32)
+    gidx = jnp.where(slot_ok, gidx, 0)
+
+    # gather per-tile gaussian rows (custom-VJP gather: scatter-free bwd)
+    feat = jnp.concatenate(
+        [means2d, conic, rgb, opacity[:, None]], axis=-1
+    )  # (N, 9)
+    g = _tile_gather(feat, gidx)                                  # (T, C, 9)
+    g = jnp.where(slot_ok[..., None], g, 0.0)
+    gm, gc, gcol, gop = g[..., 0:2], g[..., 2:5], g[..., 5:8], g[..., 8]
+
+    # per-tile pixel coordinates
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    base_x = (t_ids % tx_n) * tile
+    base_y = (t_ids // tx_n) * tile
+    px = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    pix_x = base_x[:, None, None].astype(jnp.float32) + px[None, None, :]
+    pix_y = base_y[:, None, None].astype(jnp.float32) + px[None, :, None]
+    pix_x = jnp.broadcast_to(pix_x, (n_tiles, tile, tile))
+    pix_y = jnp.broadcast_to(pix_y, (n_tiles, tile, tile))
+
+    nc = tile_cap // chunk
+
+    def blend_chunk(carry, inp):
+        color_acc, trans = carry
+        m, cn, col, o = inp
+        dx = pix_x[..., None] - m[:, None, None, :, 0]   # (T, t, t, chunk)
+        dy = pix_y[..., None] - m[:, None, None, :, 1]
+        power = (-0.5 * (cn[:, None, None, :, 0] * dx * dx
+                         + cn[:, None, None, :, 2] * dy * dy)
+                 - cn[:, None, None, :, 1] * dx * dy)
+        alpha = jnp.minimum(
+            o[:, None, None, :] * jnp.exp(jnp.minimum(power, 0.0)), 0.99
+        )
+        alpha = jnp.where(alpha < 1.0 / 255.0, 0.0, alpha)
+        one_minus = 1.0 - alpha
+        cum = jnp.cumprod(one_minus, axis=-1)
+        cum_excl = jnp.concatenate(
+            [jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1
+        )
+        w = alpha * cum_excl * trans[..., None]
+        color_acc = color_acc + jnp.einsum("tijc,tce->tije", w, col)
+        trans = trans * cum[..., -1]
+        return (color_acc, trans), None
+
+    init = (
+        jnp.zeros((n_tiles, tile, tile, 3), jnp.float32),
+        jnp.ones((n_tiles, tile, tile), jnp.float32),
+    )
+    xs = (
+        gm.reshape(n_tiles, nc, chunk, 2).swapaxes(0, 1),
+        gc.reshape(n_tiles, nc, chunk, 3).swapaxes(0, 1),
+        gcol.reshape(n_tiles, nc, chunk, 3).swapaxes(0, 1),
+        gop.reshape(n_tiles, nc, chunk).swapaxes(0, 1),
+    )
+    (color, trans), _ = jax.lax.scan(jax.checkpoint(blend_chunk), init, xs)
+    color = color + bg_color * trans[..., None]
+
+    # (TY*TX, t, t, c) -> (H, W, c)
+    img = color.reshape(ty_n, tx_n, tile, tile, 3).swapaxes(1, 2).reshape(
+        cam.height, cam.width, 3
+    )
+    alpha_img = (1.0 - trans).reshape(ty_n, tx_n, tile, tile).swapaxes(
+        1, 2
+    ).reshape(cam.height, cam.width)
+    return img, alpha_img

@@ -26,7 +26,7 @@ import numpy as np
 import optax
 
 from pixie_tpu.recon import gaussians as G
-from pixie_tpu.recon.rasterizer import Camera, rasterize
+from pixie_tpu.recon.rasterizer import Camera, rasterize, rasterize_tiled
 from pixie_tpu.recon.train_field import load_blender_dataset
 
 
@@ -49,6 +49,11 @@ class GSTrainConfig:
     sh_degree: int = 3
     white_background: bool = False
     seed: int = 0
+    # tile-culled rasterization: "auto" switches to the tiled path when the
+    # dense O(N*H*W) blend would exceed ~2^31 gaussian-pixel pairs
+    tiled: str = "auto"   # "auto" | "on" | "off"
+    tile_cap: int = 1024
+    max_tiles_side: int = 6
 
 
 def ssim(img1, img2, window: int = 11, sigma: float = 1.5):
@@ -199,13 +204,29 @@ def train_gaussian_splatting(
     active_n = init_points.shape[0]
     tx, opt_state = fresh_opt(params)
 
+    if cfg.tiled == "on":
+        use_tiled = True
+    elif cfg.tiled == "off":
+        use_tiled = False
+    else:
+        use_tiled = (capacity * cam.height * cam.width > 2**31
+                     and cam.height % 16 == 0 and cam.width % 16 == 0)
+
+    def render(params, viewmat, offset):
+        if use_tiled:
+            return rasterize_tiled(params, viewmat, cam, bg_color=bg,
+                                   tile_cap=cfg.tile_cap,
+                                   max_tiles_side=cfg.max_tiles_side,
+                                   mean2d_offset=offset)
+        return rasterize(params, viewmat, cam, bg_color=bg,
+                         mean2d_offset=offset)
+
     @jax.jit
     def step(params, opt_state, viewmat, gt):
         offset = jnp.zeros((params["xyz"].shape[0], 2))
 
         def loss_fn(params, offset):
-            img, _ = rasterize(params, viewmat, cam, bg_color=bg,
-                               mean2d_offset=offset)
+            img, _ = render(params, viewmat, offset)
             l1 = jnp.abs(img - gt).mean()
             loss = (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * (
                 1.0 - ssim(img, gt)

@@ -124,3 +124,85 @@ class TestTraining:
         (tmp_path / "iteration_100").mkdir()
         (tmp_path / "iteration_5000").mkdir()
         assert search_for_max_iteration(tmp_path) == 5000
+
+
+class TestTiledRasterizer:
+    """rasterize_tiled vs the dense oracle (rasterizer.py tiled path)."""
+
+    def _scene(self, n=300, seed=0):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        p = G.create_from_points(pts, colors=cols)
+        p["scaling"] = jnp.full((n, 3), np.log(0.03))
+        p["opacity"] = jnp.asarray(
+            rng.uniform(-1.0, 2.0, (n, 1)).astype(np.float32))
+        cam = Camera(64, 64, fx=64.0, fy=64.0, cx=32.0, cy=32.0)
+        viewmat = np.eye(4, dtype=np.float32)
+        viewmat[2, 3] = 2.0
+        return p, jnp.asarray(viewmat), cam
+
+    def test_matches_dense_oracle(self):
+        from pixie_tpu.recon.rasterizer import rasterize_tiled
+
+        p, viewmat, cam = self._scene()
+        dense, dense_a = rasterize(p, viewmat, cam, bg_color=0.25)
+        tiled, tiled_a = rasterize_tiled(p, viewmat, cam, bg_color=0.25,
+                                         tile=16, tile_cap=512,
+                                         max_tiles_side=6)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(tiled_a), np.asarray(dense_a),
+                                   atol=2e-5)
+
+    def test_gradients_match_dense(self):
+        from pixie_tpu.recon.rasterizer import rasterize_tiled
+
+        p, viewmat, cam = self._scene(n=120, seed=1)
+        target = jnp.zeros((64, 64, 3))
+
+        def loss_dense(p):
+            img, _ = rasterize(p, viewmat, cam, bg_color=0.0)
+            return jnp.mean((img - target) ** 2)
+
+        def loss_tiled(p):
+            img, _ = rasterize_tiled(p, viewmat, cam, bg_color=0.0,
+                                     tile=16, tile_cap=256, max_tiles_side=6)
+            return jnp.mean((img - target) ** 2)
+
+        gd = jax.grad(loss_dense)(p)
+        gt = jax.grad(loss_tiled)(p)
+        for key in ("xyz", "scaling", "opacity", "f_dc"):
+            np.testing.assert_allclose(np.asarray(gt[key]),
+                                       np.asarray(gd[key]),
+                                       rtol=1e-3, atol=1e-6)
+
+    def test_tile_gather_backward_matches_autodiff(self):
+        from pixie_tpu.recon.rasterizer import _tile_gather
+
+        rng = np.random.default_rng(2)
+        data = jnp.asarray(rng.normal(0, 1, (40, 5)).astype(np.float32))
+        gidx = jnp.asarray(rng.integers(0, 40, (7, 16)).astype(np.int32))
+        ct = jnp.asarray(rng.normal(0, 1, (7, 16, 5)).astype(np.float32))
+
+        def f_custom(d):
+            return jnp.sum(_tile_gather(d, gidx) * ct)
+
+        def f_plain(d):
+            return jnp.sum(d[gidx] * ct)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(f_custom)(data)),
+                                   np.asarray(jax.grad(f_plain)(data)),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_capacity_truncation_graceful(self):
+        """tile_cap smaller than the per-tile load: still finite, roughly
+        right (front-most splats kept)."""
+        from pixie_tpu.recon.rasterizer import rasterize_tiled
+
+        p, viewmat, cam = self._scene(n=500, seed=3)
+        img, alpha = rasterize_tiled(p, viewmat, cam, bg_color=0.0,
+                                     tile=16, tile_cap=64, max_tiles_side=4,
+                                     chunk=64)
+        assert np.isfinite(np.asarray(img)).all()
+        assert 0.0 <= float(np.asarray(alpha).max()) <= 1.0
