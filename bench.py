@@ -27,37 +27,39 @@ def log(*a):
 
 
 def bench_unet(batch: int, iters: int, grid: int = 64, feat_ch: int = 768):
+    """Both material U-Nets on one 64^3x768 grid, as the lane-packed joint
+    net (models/joint.py: exact block-diagonal fusion of the seg + cont
+    passes; one grid/iteration == one full seg+cont prediction)."""
     import jax
     import jax.numpy as jnp
 
-    from pixie_tpu.models.unet3d import RegressionUNet, SegmentationUNet
+    from pixie_tpu.models.joint import JointMaterialUNet
 
-    seg = SegmentationUNet(feature_channels=feat_ch, grid_size=grid,
-                           dtype=jnp.bfloat16)
-    cont = RegressionUNet(feature_channels=feat_ch, grid_size=grid,
-                          dtype=jnp.bfloat16)
+    net = JointMaterialUNet(feature_channels=feat_ch, grid_size=grid,
+                            dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, grid, grid, grid, feat_ch), jnp.bfloat16)
-    seg_p = seg.init(rng, x)["params"]
-    cont_p = cont.init(rng, x)["params"]
+    params = net.init(rng, x)["params"]
     base = jax.random.normal(rng, x.shape, x.dtype)
 
     @jax.jit
-    def fwd(sp, cp, x, eps):
+    def fwd(p, x, eps):
         x = x + eps.astype(x.dtype)
-        seg_logits = seg.apply({"params": sp}, x)
-        cont_pred = cont.apply({"params": cp}, x)
+        seg_logits, cont_pred = net.apply({"params": p}, x)
         # scalar probe: fetching its VALUE forces real completion
         return jnp.float32(seg_logits.mean()) + jnp.float32(cont_pred.mean())
 
     t0 = time.time()
-    float(fwd(seg_p, cont_p, base, jnp.float32(0.0)))
+    float(fwd(params, base, jnp.float32(0.0)))
     log(f"unet compile+first: {time.time()-t0:.1f}s")
 
+    # pipelined dispatch: enqueue all iterations (distinct inputs, so no
+    # dispatch dedup), then force every scalar VALUE.  Serial fetch-per-iter
+    # would bill ~30 ms of remote-runtime round-trip latency per iteration
+    # to the device (profiler: 67 ms device vs 98 ms serial-fetch wall).
     t0 = time.time()
-    acc = 0.0
-    for i in range(iters):
-        acc += float(fwd(seg_p, cont_p, base, jnp.float32(1e-6 * (i + 1))))
+    outs = [fwd(params, base, jnp.float32(1e-6 * (i + 1))) for i in range(iters)]
+    acc = sum(float(o) for o in outs)
     dt = (time.time() - t0) / iters
     grids_per_sec = batch / dt
     log(f"unet: {dt*1e3:.1f}ms/batch{batch} = {grids_per_sec:.2f} grids/s "
@@ -131,7 +133,7 @@ def main():
     args = ap.parse_args()
 
     if args.quick:
-        unet_rate = bench_unet(batch=1, iters=2, grid=16, feat_ch=32)
+        unet_rate = bench_unet(batch=1, iters=2, grid=16, feat_ch=64)
         mpm_rate = None if args.skip_mpm else bench_mpm(2000, 20, 2, fast=False)
     else:
         unet_rate = bench_unet(batch=args.batch, iters=10)
@@ -144,16 +146,16 @@ def main():
     # against a 10 grids/s placeholder until the driver measures the
     # reference's inference_combined on its own hardware.
     baseline_grids_per_sec = 10.0
-    print(
-        json.dumps(
-            {
-                "metric": "unet_voxel_grids_per_sec",
-                "value": round(float(unet_rate), 3),
-                "unit": "grids/s (64^3x768 CLIP -> 8-class + 3-channel material fields)",
-                "vs_baseline": round(float(unet_rate) / baseline_grids_per_sec, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "unet_voxel_grids_per_sec",
+        "value": round(float(unet_rate), 3),
+        "unit": "grids/s (64^3x768 CLIP -> 8-class + 3-channel material fields)",
+        "vs_baseline": round(float(unet_rate) / baseline_grids_per_sec, 3),
+    }
+    if mpm_rate is not None:
+        out["aux_mpm_substeps_per_sec"] = round(float(mpm_rate), 1)
+        out["aux_mpm_particles"] = args.particles
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

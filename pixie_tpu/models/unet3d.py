@@ -50,16 +50,54 @@ class SpatialLayerNorm(nn.Module):
     sp: int
     eps: float = 1e-5
     dtype: object = None
+    # n_pack > 1: the channel axis carries n_pack independent networks
+    # (lane-packed, see models/joint.py); affine params are per-pack
+    # (n_pack, sp, sp, sp), applied to each pack's channel slice.
+    # Normalization is per-(batch, channel) over space, so it is already
+    # pack-independent — only the affine needs the pack structure.
+    # pack_segments: optional ((n_channels, pack_id), ...) static spec for
+    # non-contiguous pack layouts (the decoder's [h0,h1,s0,s1] concat);
+    # None means n_pack contiguous equal slices.
+    n_pack: int = 1
+    pack_segments: tuple = None
 
     @nn.compact
     def __call__(self, x):
-        weight = self.param("weight", nn.initializers.ones, (self.sp, self.sp, self.sp))
-        bias = self.param("bias", nn.initializers.zeros, (self.sp, self.sp, self.sp))
+        shape = (self.sp, self.sp, self.sp)
+        if self.n_pack > 1:
+            shape = (self.n_pack,) + shape
+        weight = self.param("weight", nn.initializers.ones, shape)
+        bias = self.param("bias", nn.initializers.zeros, shape)
+        if self.n_pack > 1:
+            # fold the per-pack affines into (sp,sp,sp,C)-broadcast factors
+            # via channel masks; everything fuses into the normalize pass
+            # (the masks and (sp,sp,sp) params are broadcast reads).
+            c = x.shape[-1]
+            if self.pack_segments is not None:
+                import numpy as _np
+
+                lane = jnp.asarray(_np.concatenate(
+                    [_np.full(nc, pid, _np.int32)
+                     for nc, pid in self.pack_segments]
+                ))
+                assert lane.shape[0] == c, (lane.shape, c)
+            else:
+                lane = jnp.arange(c) // (c // self.n_pack)
+            w_full = jnp.zeros((self.sp, self.sp, self.sp, c), weight.dtype)
+            b_full = jnp.zeros_like(w_full)
+            for p in range(self.n_pack):
+                m = (lane == p).astype(weight.dtype)
+                w_full = w_full + weight[p][..., None] * m
+                b_full = b_full + bias[p][..., None] * m
+            weight, bias = w_full, b_full
+        else:
+            weight = weight[..., None]
+            bias = bias[..., None]
         if self.dtype is None:
             mean = x.mean(axis=(1, 2, 3), keepdims=True)
             var = x.var(axis=(1, 2, 3), keepdims=True)
             xn = (x - mean) * jax.lax.rsqrt(var + self.eps)
-            return xn * weight[None, :, :, :, None] + bias[None, :, :, :, None]
+            return xn * weight[None] + bias[None]
         # low-precision compute path: statistics in fp32 (converts fuse into
         # the reductions; the (B,1,1,1,C) results are tiny), normalize+affine
         # in the compute dtype — the fp32-param path above would otherwise
@@ -97,8 +135,8 @@ class SpatialLayerNorm(nn.Module):
         var = jnp.maximum(s2 / n_sp - mean * mean, 0.0)
         scale = jax.lax.rsqrt(var + self.eps)
         xn = (x - mean.astype(self.dtype)) * scale.astype(self.dtype)
-        return (xn * weight[None, :, :, :, None].astype(self.dtype)
-                + bias[None, :, :, :, None].astype(self.dtype))
+        return (xn * weight[None].astype(self.dtype)
+                + bias[None].astype(self.dtype))
 
 
 # Lower stride-1 3x3x3 convs as three depth-shifted 2D convs summed.  XLA's
@@ -264,11 +302,21 @@ class MyResBlock(nn.Module):
     dropout: float = 0.0
     use_conv_skip: bool = False
     dtype: object = None
+    n_pack: int = 1
+    # pack layout of the INPUT channels when it isn't contiguous slices
+    # (decoder concat blocks); see SpatialLayerNorm.pack_segments
+    in_pack_segments: tuple = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, skip_in=None):
         in_ch = x.shape[-1] + (0 if skip_in is None else skip_in.shape[-1])
-        in_norm = SpatialLayerNorm(self.sp, dtype=self.dtype, name="in_norm")
+        if self.in_pack_segments is not None:
+            # identity-skip would add mismatched pack layouts
+            assert in_ch != self.out_channels, (
+                "non-contiguous pack input requires a projecting skip")
+        in_norm = SpatialLayerNorm(self.sp, dtype=self.dtype, name="in_norm",
+                                   n_pack=self.n_pack,
+                                   pack_segments=self.in_pack_segments)
         if skip_in is None:
             h = leaky_relu_002(in_norm(x))
             h = conv3(self.out_channels, name="in_conv", dtype=self.dtype)(h)
@@ -277,7 +325,8 @@ class MyResBlock(nn.Module):
             hb = leaky_relu_002(in_norm(skip_in))
             h = _SplitInputConv(self.out_channels, kernel=3, name="in_conv",
                                 dtype=self.dtype)(ha, hb)
-        h = SpatialLayerNorm(self.sp, dtype=self.dtype, name="out_norm")(h)
+        h = SpatialLayerNorm(self.sp, dtype=self.dtype, name="out_norm",
+                             n_pack=self.n_pack)(h)
         h = leaky_relu_002(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -312,6 +361,13 @@ class AttentionBlock(nn.Module):
 
     num_heads: int = 1
     dtype: object = None
+    # n_pack > 1: channel axis carries n_pack packed nets.  Each pack becomes
+    # an independent attention head group (heads = n_pack * num_heads) and the
+    # GroupNorm uses each pack's own group count so groups never cross packs
+    # (requires min(32, c_pack) to divide c_pack, true for the reference's
+    # channel sizes).  The packed qkv kernel keeps each pack's [q k v] block
+    # contiguous, so the head reshape below is exactly per-net attention.
+    n_pack: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -319,18 +375,39 @@ class AttentionBlock(nn.Module):
         t = d * h * w
         flat = x.reshape(n, t, c)
 
-        xn = nn.GroupNorm(num_groups=min(32, c), epsilon=1e-5, name="norm",
+        groups = min(32, c // self.n_pack) * self.n_pack
+        heads = self.num_heads * self.n_pack
+        xn = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="norm",
                           dtype=self.dtype)(flat)
         qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(xn)  # 1x1 conv == dense over channels
-        qkv = qkv.reshape(n * self.num_heads, t, 3 * (c // self.num_heads))
+        if heads > 1:
+            # channel-last head split: qkv channels are [head0: q k v,
+            # head1: q k v, ...]; a flat reshape (valid in the reference's
+            # channel-first layout) would mix spatial and channel dims here
+            qkv = qkv.reshape(n, t, heads, 3 * (c // heads))
+            qkv = qkv.transpose(0, 2, 1, 3).reshape(n * heads, t, 3 * (c // heads))
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        ch = c // self.num_heads
+        ch = c // heads
         scale = 1.0 / jnp.sqrt(jnp.sqrt(ch)).astype(x.dtype)
-        weight = jnp.einsum(
-            "btc,bsc->bts", q * scale, k * scale, precision="highest"
-        )
-        weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(weight.dtype)
-        a = jnp.einsum("bts,bsc->btc", weight, v, precision="highest")
+        if q.dtype == jnp.float32:
+            weight = jnp.einsum(
+                "btc,bsc->bts", q * scale, k * scale, precision="highest"
+            )
+            weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1
+                                    ).astype(weight.dtype)
+            a = jnp.einsum("bts,bsc->btc", weight, v, precision="highest")
+        else:
+            # low-precision path: bf16 MXU inputs with fp32 accumulation
+            # (precision="highest" on bf16 operands trips a Mosaic matmul
+            # lowering bug on this toolchain at batch>1, and 6-pass bf16 is
+            # overkill for the 8^3 middle attention anyway)
+            weight = jnp.einsum("btc,bsc->bts", q * scale, k * scale,
+                                preferred_element_type=jnp.float32)
+            weight = jax.nn.softmax(weight, axis=-1).astype(q.dtype)
+            a = jnp.einsum("bts,bsc->btc", weight, v,
+                           preferred_element_type=jnp.float32).astype(q.dtype)
+        if heads > 1:
+            a = a.reshape(n, heads, t, ch).transpose(0, 2, 1, 3)
         a = a.reshape(n, t, c)
         a = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj_out",
                      dtype=self.dtype)(a)
@@ -367,17 +444,22 @@ class FeatureProjector(nn.Module):
     out_channels: int
     hidden_channels: int | None = None
     dtype: object = None
+    # n_pack > 1: out/hidden channels carry n_pack packed nets; GroupNorm
+    # group counts are per-pack so groups never cross packs.  The input x is
+    # SHARED (not packed) — each pack's conv0 block reads all of it.
+    n_pack: int = 1
 
     @nn.compact
     def __call__(self, x):
         if self.hidden_channels is None:
             x = conv3(self.out_channels, kernel=1, name="conv0", dtype=self.dtype)(x)
             x = nn.GroupNorm(
-                num_groups=max(self.out_channels // 2, 1), epsilon=1e-5, name="gn0"
+                num_groups=max(self.out_channels // (2 * self.n_pack), 1) * self.n_pack,
+                epsilon=1e-5, name="gn0",
             )(x)
             return jax.nn.silu(x)
-        gh = min(32, self.hidden_channels)
-        go = min(32, self.out_channels)
+        gh = min(32, self.hidden_channels // self.n_pack) * self.n_pack
+        go = min(32, self.out_channels // self.n_pack) * self.n_pack
         x = conv3(self.hidden_channels, kernel=1, name="conv0", dtype=self.dtype)(x)
         x = nn.GroupNorm(num_groups=gh, epsilon=1e-5, name="gn0", dtype=self.dtype)(x)
         x = jax.nn.silu(x)
@@ -405,6 +487,10 @@ class MyUNetModel(nn.Module):
     # and param tree; measured a wash on v5e at 64^3 — kept as an option, the
     # literal concat is the default)
     fuse_skip_concat: bool = False
+    # n_pack > 1: run n_pack lane-packed independent nets (models/joint.py);
+    # all channel counts (model_channels, out_channels, input) are JOINT
+    # totals = n_pack * per-net counts.
+    n_pack: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -421,9 +507,11 @@ class MyUNetModel(nn.Module):
             for _ in range(self.num_res_blocks):
                 ch = mult * self.model_channels
                 h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                               n_pack=self.n_pack,
                                name=f"down_{block}")(h, deterministic)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(self.num_heads, dtype=self.dtype,
+                                       n_pack=self.n_pack,
                                        name=f"down_attn_{block}")(h)
                 hs.append(h)
                 block += 1
@@ -434,11 +522,12 @@ class MyUNetModel(nn.Module):
                 ds *= 2
                 sp = (sp + 1) // 2
 
-        h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype, name="middle_0")(
-            h, deterministic)
-        h = AttentionBlock(self.num_heads, dtype=self.dtype, name="middle_attn")(h)
-        h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype, name="middle_2")(
-            h, deterministic)
+        h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                       n_pack=self.n_pack, name="middle_0")(h, deterministic)
+        h = AttentionBlock(self.num_heads, dtype=self.dtype,
+                           n_pack=self.n_pack, name="middle_attn")(h)
+        h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                       n_pack=self.n_pack, name="middle_2")(h, deterministic)
 
         block = 0
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
@@ -452,16 +541,27 @@ class MyUNetModel(nn.Module):
                 if skip.shape[3] < h.shape[3]:
                     h = h[:, :, :, :-1]
                 ch = self.model_channels * mult
+                segs = None
+                if self.n_pack > 1:
+                    hp = h.shape[-1] // self.n_pack
+                    sp_ch = skip.shape[-1] // self.n_pack
+                    segs = tuple((hp, p) for p in range(self.n_pack)) + tuple(
+                        (sp_ch, p) for p in range(self.n_pack))
                 if self.fuse_skip_concat:
+                    # x and skip are normalized separately here and each is
+                    # pack-contiguous on its own — no segment map needed
                     h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                                   n_pack=self.n_pack,
                                    name=f"up_{block}")(h, deterministic,
                                                        skip_in=skip)
                 else:
                     cat = jnp.concatenate([h, skip], axis=-1)
                     h = MyResBlock(ch, sp, self.dropout, dtype=self.dtype,
+                                   n_pack=self.n_pack, in_pack_segments=segs,
                                    name=f"up_{block}")(cat, deterministic)
                 if ds in self.attention_resolutions:
                     h = AttentionBlock(self.num_heads, dtype=self.dtype,
+                                       n_pack=self.n_pack,
                                        name=f"up_attn_{block}")(h)
                 if level and i == self.num_res_blocks:
                     h = Upsample(ch, dtype=self.dtype, name=f"upsample_{block}")(h)
@@ -469,7 +569,8 @@ class MyUNetModel(nn.Module):
                     sp = sizes.pop()
                 block += 1
 
-        h = SpatialLayerNorm(sp, dtype=self.dtype, name="out_norm")(h)
+        h = SpatialLayerNorm(sp, dtype=self.dtype, name="out_norm",
+                             n_pack=self.n_pack)(h)
         h = leaky_relu_002(h)
         return conv3(self.out_channels, zero_init=True, name="out_conv",
                      dtype=self.dtype)(h)
