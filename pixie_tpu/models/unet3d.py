@@ -126,11 +126,17 @@ class SpatialLayerNorm(nn.Module):
             s1 = s1[:, None, None, None, :]
             s2 = s2[:, None, None, None, :]
         else:
-            # one-pass stats: sum and sum-of-squares share the single
-            # activation read
+            # one-pass stats: a single VARIADIC reduce yields sum and
+            # sum-of-squares from one traversal (two separate reduce ops
+            # don't share their reads on TPU — measured 1.006 -> 0.650
+            # ms/op at (1,64^3,128) bf16)
             xf = x.astype(jnp.float32)
-            s1 = xf.sum(axis=(1, 2, 3), keepdims=True)
-            s2 = (xf * xf).sum(axis=(1, 2, 3), keepdims=True)
+            s1, s2 = jax.lax.reduce(
+                (xf, xf * xf), (jnp.float32(0), jnp.float32(0)),
+                lambda a, b: (a[0] + b[0], a[1] + b[1]), (1, 2, 3),
+            )
+            s1 = s1[:, None, None, None, :]
+            s2 = s2[:, None, None, None, :]
         mean = s1 / n_sp
         var = jnp.maximum(s2 / n_sp - mean * mean, 0.0)
         scale = jax.lax.rsqrt(var + self.eps)

@@ -22,6 +22,7 @@ decomposes into 2^3 parity blocks.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -237,6 +238,109 @@ def extract_windows_blocked(grid_blocked: jnp.ndarray) -> jnp.ndarray:
     out = _expand_axis(out, tile_axis=1, block_axis=5)
     out = _expand_axis(out, tile_axis=2, block_axis=6)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Matmul-fold combine/extract: the fold window->blocked (and its adjoint) is
+# a LINEAR map along each window axis, so it can run as matmuls with constant
+# 0/1 matrices acting directly on the kernels' native (T3, rows, 256) layout.
+# The slice-based combine/extract above runs the minor (lane/sublane) axes
+# through 1..8-offset slices, which Mosaic/XLA lower as lane-rotate + select
+# chains (~4.5 ms/substep at n_grid=50 — the dominant non-kernel cost);
+# the matmul form is ~10 GFLOP of MXU work instead (sub-ms).  Cross-tile
+# halo terms ride tile shifts on MAJOR axes (full-register copies).
+# Window u of tile tw covers grid cell TILE*tw + u - 1 = TILE*tw' + b.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_mats():
+    """(own, prev, nxt): (WIN_S, TILE) 0/1 fold matrices.
+
+    B[tw', b] = sum_u own[u, b] W[tw', u] + prev[u, b] W[tw'-1, u]
+                + nxt[u, b] W[tw'+1, u]
+    """
+    own = np.zeros((WIN_S, TILE), np.float32)
+    for b in range(TILE):
+        own[b + 1, b] = 1.0          # u = b+1 on the same tile
+    prev = np.zeros((WIN_S, TILE), np.float32)
+    for b in range(TILE - 1):
+        prev[b + TILE + 1, b] = 1.0  # high window cells of tile tw'-1
+    nxt = np.zeros((WIN_S, TILE), np.float32)
+    nxt[0, TILE - 1] = 1.0           # u=0 of tile tw'+1 -> b = TILE-1
+    return own, prev, nxt
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def combine_windows_mm(windows: jnp.ndarray, t: int, n_ch: int) -> jnp.ndarray:
+    """Kernel-native (T3, n_ch*WIN_S, WIN_S*WIN_S) windows -> blocked grid
+    (t,t,t, n_ch, TILE,TILE,TILE).  Rows are (channel, ux); cols (uy, uz)."""
+    own, prev, nxt = _fold_mats()
+    eye_w = np.eye(WIN_S, dtype=np.float32)
+    eye_t = np.eye(TILE, dtype=np.float32)
+
+    w = windows.reshape(t, t, t, n_ch * WIN_S, WIN_S * WIN_S)
+    # z fold on cols: (uy,uz) -> (uy,bz)
+    mz = [jnp.asarray(np.kron(eye_w, m)) for m in (own, prev, nxt)]
+    g = (_mm(w, mz[0]) + _mm(_tile_shift(w, 2, -1), mz[1])
+         + _mm(_tile_shift(w, 2, 1), mz[2]))
+    # y fold on cols: (uy,bz) -> (by,bz)
+    my = [jnp.asarray(np.kron(m, eye_t)) for m in (own, prev, nxt)]
+    g = (_mm(g, my[0]) + _mm(_tile_shift(g, 1, -1), my[1])
+         + _mm(_tile_shift(g, 1, 1), my[2]))
+    # x fold on rows: left-multiply (TILE, WIN_S) against the ux axis
+    g = g.reshape(t, t, t, n_ch, WIN_S, TILE * TILE)
+
+    def lfold(m, a):
+        return jax.lax.dot_general(
+            jnp.asarray(m.T), a, (((1,), (4,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # -> (TILE, t, t, t, n_ch, TILE*TILE)
+
+    gx = (lfold(own, g) + lfold(prev, _tile_shift(g, 0, -1))
+          + lfold(nxt, _tile_shift(g, 0, 1)))
+    gx = jnp.transpose(gx, (1, 2, 3, 4, 0, 5))
+    return gx.reshape(t, t, t, n_ch, TILE, TILE, TILE)
+
+
+def extract_windows_mm(grid_blocked: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint: blocked grid (t,t,t, n_ch, TILE,TILE,TILE) -> kernel-native
+    windows (T3, n_ch*WIN_S, WIN_S*WIN_S)."""
+    t = grid_blocked.shape[0]
+    n_ch = grid_blocked.shape[3]
+    own, prev, nxt = _fold_mats()
+    eye_w = np.eye(WIN_S, dtype=np.float32)
+    eye_t = np.eye(TILE, dtype=np.float32)
+
+    g = grid_blocked.reshape(t, t, t, n_ch, TILE, TILE * TILE)
+
+    # x expand on rows: W[tw, u] picks b=u-1 own / b=u+7 of tw-1 / b=0 of tw+1
+    def lexp(m, a):
+        return jax.lax.dot_general(
+            jnp.asarray(m), a, (((1,), (4,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # -> (WIN_S, t, t, t, n_ch, TILE*TILE)
+
+    w = (lexp(own, g) + lexp(nxt, _tile_shift(g, 0, -1))
+         + lexp(prev, _tile_shift(g, 0, 1)))
+    w = jnp.transpose(w, (1, 2, 3, 4, 0, 5))
+    w = w.reshape(t, t, t, n_ch * WIN_S, TILE * TILE)
+    # y expand on cols: (by,bz) -> (uy,bz).  W[tw] = own^T G[tw]
+    # + nxt^T G[tw-1] + prev^T G[tw+1].
+    my = [jnp.asarray(np.kron(m.T, eye_t)) for m in (own, nxt, prev)]
+    w = (_mm(w, my[0]) + _mm(_tile_shift(w, 1, -1), my[1])
+         + _mm(_tile_shift(w, 1, 1), my[2]))
+    # z expand on cols: (uy,bz) -> (uy,uz)
+    mz = [jnp.asarray(np.kron(eye_w, m.T)) for m in (own, nxt, prev)]
+    w = (_mm(w, mz[0]) + _mm(_tile_shift(w, 2, -1), mz[1])
+         + _mm(_tile_shift(w, 2, 1), mz[2]))
+    return w.reshape(t * t * t, n_ch * WIN_S, WIN_S * WIN_S)
 
 
 def blocked_to_linear(grid_blocked: jnp.ndarray, n_grid: int) -> jnp.ndarray:

@@ -22,9 +22,11 @@ a scalar-prefetched tile-id table.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,6 +47,18 @@ OUT_CH = 32     # g2p: v(3) C(9) grad(9) padded to 32
 # reference-parity tests keep fp32; enable via
 # pixie_tpu.ops.transfer.BF16_DOTS = True before building the solver.
 BF16_DOTS = False
+
+# build the (y,z) pair maps via narrow factors + constant MXU broadcast
+# (_pairs_mxu) instead of wide VPU one-hot chains (_pairs).  Measured SLOWER
+# on v5e (82 vs 109 substeps/s @100k): the broadcast dots serialize against
+# the kernels' main contraction instead of overlapping with the VPU work.
+# Kept for A/B forensics; default off.
+PAIRS_MXU = os.environ.get("PIXIE_PAIRS_MXU", "0") == "1"
+
+
+def _pairs_dispatch(u0y, fy, u0z, fz):
+    fn = _pairs_mxu if PAIRS_MXU else _pairs
+    return fn(u0y, fy, u0z, fz)
 
 
 def build_pdata(x, v, C, stress, mass, vol, tile_coords_per_slot, dt, dx, inv_dx):
@@ -134,6 +148,35 @@ def _pairs(u0y, fy, u0z, fz):
     return y1 * z1, y2 * z1, y1 * z2, y3 * z1, y1 * z3
 
 
+def _pairs_mxu(u0y, fy, u0z, fz):
+    """_pairs via narrow factors + MXU broadcast: the wide construction above
+    is ~19 full-(PBLK,256) VPU passes; here the six per-axis factors are
+    built (PBLK, WIN_S) narrow (1/16 the vector traffic) and broadcast to
+    the 256 pair columns by two constant 0/1 matmuls (the MXU sits idle
+    between the kernels' main dots), leaving 5 wide multiplies."""
+    n = u0y.shape[0]
+    y1, y2, y3 = _window_factors(u0y, fy)
+    z1, z2, z3 = _window_factors(u0z, fz)
+    # col c = uy*WIN_S + uz;  Ey[k,c] = [uy==k], Ez[k,c] = [uz==k]; built
+    # from iotas in-kernel (pallas_call forbids captured array constants)
+    row = jax.lax.broadcasted_iota(jnp.int32, (WIN_S, WIN_S * WIN_S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (WIN_S, WIN_S * WIN_S), 1)
+    ey = (col >> 4 == row).astype(jnp.float32)
+    ez = ((col & (WIN_S - 1)) == row).astype(jnp.float32)
+
+    def bcast(f, e):
+        return jax.lax.dot_general(
+            f, e, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    yw = bcast(jnp.concatenate([y1, y2, y3], axis=0), ey)
+    zw = bcast(jnp.concatenate([z1, z2, z3], axis=0), ez)
+    y1w, y2w, y3w = yw[:n], yw[n:2 * n], yw[2 * n:]
+    z1w, z2w, z3w = zw[:n], zw[n:2 * n], zw[2 * n:]
+    return y1w * z1w, y2w * z1w, y1w * z2w, y3w * z1w, y1w * z3w
+
+
 def _p2g_kernel(tile_ref, pdata_ref, out_ref):
     i = pl.program_id(0)
 
@@ -145,7 +188,7 @@ def _p2g_kernel(tile_ref, pdata_ref, out_ref):
 
     d = pdata_ref[...]  # (PBLK, 32)
     x1, x2, x3 = _window_factors(d[:, _U0 + 0], d[:, _FX + 0])
-    p11, p21, p12, p31, p13 = _pairs(
+    p11, p21, p12, p31, p13 = _pairs_dispatch(
         d[:, _U0 + 1], d[:, _FX + 1], d[:, _U0 + 2], d[:, _FX + 2]
     )
 
@@ -209,10 +252,190 @@ def p2g_tiled(pdata, block_tile, n_tiles_total: int, interpret: bool = False):
     )(block_tile, pdata)
 
 
+def build_pdata_rows(x, v, C, stress, mass, vol, tile_rows, dt, dx, inv_dx):
+    """SoA variant of build_pdata: row-list inputs -> (32, Np) kernel input.
+
+    x, v: 3-lists of (Np,) rows; C, stress: 9-lists (row-major); tile_rows:
+    3-list of int32 tile coordinates per slot.  Every op is full-lane (N,)
+    elementwise; the only layout change is the final (32, Np) stack.
+    """
+    u0, fx = [], []
+    for a in range(3):
+        gp = x[a] * inv_dx
+        base = jnp.floor(gp - 0.5)
+        fx.append(gp - base)
+        u0.append(jnp.clip(
+            base.astype(jnp.int32) - tile_rows[a] * TILE + 1, 0, WIN - 3
+        ).astype(jnp.float32))
+
+    qa = [mass * v[a] for a in range(3)]
+    sb = mass * dx
+    ss = -(vol * dt) * inv_dx
+    # channel groups mirror build_pdata: qb/qs columns (j fixed, i varies)
+    qb_cols = [[sb * C[3 * i + j] for i in range(3)] for j in range(3)]
+    qs_cols = [[ss * stress[3 * i + j] for i in range(3)] for j in range(3)]
+
+    rows = (u0 + fx + [mass] + qa
+            + qb_cols[0] + qb_cols[1] + qb_cols[2]
+            + qs_cols[0] + qs_cols[1] + qs_cols[2])
+    zero = jnp.zeros_like(mass)
+    rows = rows + [zero] * (_CH - len(rows))
+    return jnp.stack(rows, axis=0)
+
+
+def _p2g_kernel_t(tile_ref, pdata_ref, out_ref, acc_ref):
+    """Transposed-layout P2G: pdata block is (32, PBLK) — full-lane rows.
+
+    Accumulates same-tile blocks in a VMEM scratch and writes the output
+    block once, on the tile's last program: the revisit-accumulate pattern
+    (read-modify-write of out_ref by consecutive programs) serializes the
+    Mosaic pipeline on the out-block round-trip.
+    """
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    first = jnp.logical_or(i == 0, tile_ref[i] != tile_ref[jnp.maximum(i - 1, 0)])
+    last = jnp.logical_or(
+        i == nb - 1, tile_ref[jnp.minimum(i + 1, nb - 1)] != tile_ref[i]
+    )
+
+    @pl.when(first)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    d = pdata_ref[...]  # (32, PBLK)
+    x1, x2, x3 = _window_factors(d[_U0 + 0], d[_FX + 0])
+    p11, p21, p12, p31, p13 = _pairs_dispatch(
+        d[_U0 + 1], d[_FX + 1], d[_U0 + 2], d[_FX + 2]
+    )
+
+    def lefts(per_ch_x):
+        return jnp.concatenate(per_ch_x, axis=1)
+
+    m = d[_M]
+    l11 = lefts(
+        [x1 * d[_QA + c][:, None] + x2 * d[_QBX + c][:, None]
+         + x3 * d[_QSX + c][:, None] for c in range(3)] + [x1 * m[:, None]]
+    )
+    zero = jnp.zeros_like(x1)
+    l21 = lefts([x1 * d[_QBY + c][:, None] for c in range(3)] + [zero])
+    l12 = lefts([x1 * d[_QBZ + c][:, None] for c in range(3)] + [zero])
+    l31 = lefts([x1 * d[_QSY + c][:, None] for c in range(3)] + [zero])
+    l13 = lefts([x1 * d[_QSZ + c][:, None] for c in range(3)] + [zero])
+
+    left_big = jnp.concatenate([l11, l21, l12, l31, l13], axis=0)
+    pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)
+    if BF16_DOTS:
+        left_big = left_big.astype(jnp.bfloat16)
+        pair_big = pair_big.astype(jnp.bfloat16)
+    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+        left_big, pair_big, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(last)
+    def _():
+        out_ref[...] = acc_ref[...][None]
+
+
+def p2g_tiled_t(pdata_t, block_tile, n_tiles_total: int, interpret: bool = False):
+    """pdata_t (32, NB*PBLK), block_tile (NB,) -> windows
+    (n_tiles_total, 4*WIN_S, WIN_S*WIN_S) fp32."""
+    nb = block_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_CH, PBLK), lambda i, tile_ref: (0, i)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N_GRID_CH * WIN_S, WIN_S * WIN_S),
+            lambda i, tile_ref: (tile_ref[i], 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N_GRID_CH * WIN_S, WIN_S * WIN_S), jnp.float32)
+        ],
+    )
+    return pl.pallas_call(
+        _p2g_kernel_t,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles_total, N_GRID_CH * WIN_S, WIN_S * WIN_S), jnp.float32
+        ),
+        interpret=interpret,
+    )(block_tile, pdata_t)
+
+
+OUT_CH_T = 24   # g2p rows: per channel c [v, Cx, Cy, Cz, gx, gy, gz] = 21 + pad
+
+
+def _g2p_kernel_t(tile_ref, pdata_ref, win_ref, out_ref):
+    d = pdata_ref[...]  # (32, PBLK)
+    x1, x2, x3 = _window_factors(d[_U0 + 0], d[_FX + 0])
+    p11, p21, p12, p31, p13 = _pairs_dispatch(
+        d[_U0 + 1], d[_FX + 1], d[_U0 + 2], d[_FX + 2]
+    )
+
+    win = win_ref[0]
+    pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)
+    if BF16_DOTS:
+        pair_big = pair_big.astype(jnp.bfloat16)
+        win = win.astype(jnp.bfloat16)
+    t_big = jax.lax.dot_general(
+        pair_big, win, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    n = x1.shape[0]
+
+    def t(v, c):
+        return t_big[v * n : (v + 1) * n, c * WIN_S : (c + 1) * WIN_S]
+
+    rows = []
+    for c in range(3):
+        t11, t21, t12, t31, t13 = (t(0, c), t(1, c), t(2, c), t(3, c), t(4, c))
+        rows.extend([
+            jnp.sum(x1 * t11, axis=1),
+            jnp.sum(x2 * t11, axis=1),
+            jnp.sum(x1 * t21, axis=1),
+            jnp.sum(x1 * t12, axis=1),
+            jnp.sum(x3 * t11, axis=1),
+            jnp.sum(x1 * t31, axis=1),
+            jnp.sum(x1 * t13, axis=1),
+        ])
+    zero = jnp.zeros_like(rows[0])
+    rows = rows + [zero] * (OUT_CH_T - len(rows))
+    out_ref[...] = jnp.stack(rows, axis=0)
+
+
+def g2p_tiled_t(pdata_t, windows, block_tile, interpret: bool = False):
+    """pdata_t (32, NB*PBLK), windows (T3, 3*WIN_S, WIN_S^2), block_tile (NB,)
+    -> (OUT_CH_T, NB*PBLK) rows: per channel c [v_c, C_cx, C_cy, C_cz, g_cx,
+    g_cy, g_cz] (unitless; caller applies inv_dx scalings)."""
+    nb = block_tile.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_CH, PBLK), lambda i, tile_ref: (0, i)),
+            pl.BlockSpec(
+                (1, N_VEL_CH * WIN_S, WIN_S * WIN_S),
+                lambda i, tile_ref: (tile_ref[i], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((OUT_CH_T, PBLK), lambda i, tile_ref: (0, i)),
+    )
+    return pl.pallas_call(
+        _g2p_kernel_t,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((OUT_CH_T, nb * PBLK), jnp.float32),
+        interpret=interpret,
+    )(block_tile, pdata_t, windows)
+
+
 def _g2p_kernel(tile_ref, pdata_ref, win_ref, out_ref):
     d = pdata_ref[...]
     x1, x2, x3 = _window_factors(d[:, _U0 + 0], d[:, _FX + 0])
-    p11, p21, p12, p31, p13 = _pairs(
+    p11, p21, p12, p31, p13 = _pairs_dispatch(
         d[:, _U0 + 1], d[:, _FX + 1], d[:, _U0 + 2], d[:, _FX + 2]
     )
 

@@ -14,6 +14,7 @@ element-wise parity): same B-spline weights, APIC transfer, BC handling.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,10 +23,14 @@ import numpy as np
 from pixie_tpu.ops import tiling, transfer
 from pixie_tpu.ops.tiling import PBLK, TILE, WIN_S
 from pixie_tpu.sim import bc as bc_mod
-from pixie_tpu.sim import mat3
-from pixie_tpu.sim.constitutive import compute_stress_from_F_trial
+from pixie_tpu.sim import soa
+from pixie_tpu.sim.constitutive_soa import compute_stress_rows
 from pixie_tpu.sim.solver import apply_grid_bcs, grid_momentum_to_velocity, grid_update
 from pixie_tpu.sim.types import MPMConfig, MPMState
+
+# combine/extract as constant-matrix MXU matmuls (tiling.combine_windows_mm)
+# instead of minor-axis slice chains; A/B-able for perf forensics
+MM_FOLD = os.environ.get("PIXIE_MM_FOLD", "1") == "1"
 
 
 def pad_state_to_layout(state: MPMState, layout) -> MPMState:
@@ -108,42 +113,129 @@ def _blocked_valid_mask(cfg: MPMConfig):
     return m.reshape(t, TILE, t, TILE, t, TILE).transpose(0, 2, 4, 1, 3, 5)
 
 
-def p2g2p_fast(state: MPMState, layout, cfg: MPMConfig, bcs, time, dt,
-               interpret: bool = False) -> MPMState:
-    """One substep on padded tile-sorted state (semantics of solver.p2g2p)."""
+# ---------------------------------------------------------------------------
+# SoA substep.  Per-particle state lives as packed component rows (soa.py:
+# (3,N)/(9,N)/(6,N), N on the lane axis) through the whole frame scan; the
+# AoS (N,3,3) layout puts the 3x3 dims on the register tile and ran every
+# elementwise op at ~3/128 lane occupancy (profiled ~7.6 ms/substep of XLA
+# glue at N=100k; see docs/DESIGN.md).
+# ---------------------------------------------------------------------------
+
+_SOA_MAT = ("F", "F_trial", "C", "stress")
+_SOA_VEC = ("x", "v")
+_SOA_SCALAR = ("mass", "vol", "material", "selection", "mu", "lam",
+               "yield_stress", "bulk")
+
+
+def state_to_soa(st: MPMState) -> dict:
+    sd = {k: getattr(st, k) for k in _SOA_SCALAR}
+    for k in _SOA_VEC:
+        sd[k] = getattr(st, k).T
+    for k in _SOA_MAT:
+        sd[k] = soa.pack(soa.aos_mat_to_rows(getattr(st, k)))
+    sd["cov"] = st.cov.T
+    return sd
+
+
+def soa_to_state(sd: dict, template: MPMState) -> MPMState:
+    kw = {k: sd[k] for k in _SOA_SCALAR}
+    for k in _SOA_VEC:
+        kw[k] = sd[k].T
+    for k in _SOA_MAT:
+        kw[k] = soa.rows_to_aos_mat(soa.unpack(sd[k]))
+    kw["cov"] = sd["cov"].T
+    return template.replace(**kw)
+
+
+def _apply_particle_bc_soa(b, time, dt, sd: dict) -> dict:
+    """Row-list ports of the particle BCs (bc.py:150-226)."""
+    v = soa.unpack(sd["v"])
+    if isinstance(b, bc_mod.ParticleImpulse):
+        active = (time >= b.start_time) & (time < b.end_time)
+        sel = active & (b.mask > 0)
+        v_new = [v[a] + b.force[a] / sd["mass"] * dt for a in range(3)]
+        v = soa.where_rows(sel, v_new, v)
+    elif isinstance(b, bc_mod.ParticleVelocityTranslation):
+        active = (time >= b.start_time) & (time < b.end_time)
+        sel = active & (b.mask > 0)
+        v = [jnp.where(sel, b.velocity[a], v[a]) for a in range(3)]
+    elif isinstance(b, bc_mod.ParticleVelocityRotation):
+        x = soa.unpack(sd["x"])
+        offset = [x[a] - b.point[a] for a in range(3)]
+        along = sum(offset[a] * b.normal[a] for a in range(3))
+        radial = [offset[a] - along * b.normal[a] for a in range(3)]
+        horiz_dist = soa.norm3(radial)
+        cosine = sum(offset[a] * b.horizontal_axis_1[a] for a in range(3)) \
+            / jnp.maximum(horiz_dist, 1e-12)
+        theta = jnp.arccos(jnp.clip(cosine, -1.0, 1.0))
+        theta = jnp.where(
+            sum(offset[a] * b.horizontal_axis_2[a] for a in range(3)) > 0,
+            theta, -theta,
+        )
+        a1 = -horiz_dist * jnp.sin(theta) * b.rotation_scale
+        a2 = horiz_dist * jnp.cos(theta) * b.rotation_scale
+        v_new = [
+            a1 * b.horizontal_axis_1[a] + a2 * b.horizontal_axis_2[a]
+            + b.translation_scale * b.normal[a]
+            for a in range(3)
+        ]
+        active = (time >= b.start_time) & (time < b.end_time)
+        sel = active & (b.mask > 0)
+        v = soa.where_rows(sel, v_new, v)
+    return {**sd, "v": soa.pack(v)}
+
+
+def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
+                   interpret: bool = False) -> dict:
+    """One substep on an SoA state dict (semantics of solver.p2g2p)."""
     t = tiling.n_tiles(cfg.n_grid)
     t3 = t * t * t
-    tile_coords = _tile_coords_per_slot(layout)
+    tile_rows = [
+        jnp.repeat(layout["tile_coords"][:, a], PBLK) for a in range(3)
+    ]
 
     # particle BCs before P2G (impulses, velocity modifiers)
     for b in bcs:
         if isinstance(b, bc_mod.PARTICLE_BC_TYPES):
-            state = b.apply(time, dt, state)
+            sd = _apply_particle_bc_soa(b, time, dt, sd)
 
-    state = compute_stress_from_F_trial(state, cfg, dt)
+    F_rows, stress_rows, ys, mu, lam = compute_stress_rows(
+        soa.unpack(sd["F_trial"]), soa.unpack(sd["F"]),
+        soa.unpack(sd["stress"]), sd["material"], sd["mu"], sd["lam"],
+        sd["yield_stress"], sd["bulk"], sd["selection"], cfg, dt,
+    )
 
     # RPIC/PIC damping of C (p2g_apic_with_stress, mpm_utils.py:372-379)
-    C = state.C
+    C = soa.unpack(sd["C"])
     if cfg.rpic_damping < -0.001:
-        C = jnp.zeros_like(C)
+        C = [jnp.zeros_like(c) for c in C]
     elif cfg.rpic_damping != 0.0:
-        C = (1.0 - cfg.rpic_damping) * C + cfg.rpic_damping / 2.0 * (
-            C - jnp.swapaxes(C, -1, -2)
+        Ct = soa.transpose(C)
+        C = [(1.0 - cfg.rpic_damping) * c + cfg.rpic_damping / 2.0 * (c - ct)
+             for c, ct in zip(C, Ct)]
+
+    active_f = (sd["selection"] == 0).astype(jnp.float32)
+    x_rows = soa.unpack(sd["x"])
+    v_rows = soa.unpack(sd["v"])
+    pdata = transfer.build_pdata_rows(
+        x_rows, v_rows, C, stress_rows, sd["mass"] * active_f,
+        sd["vol"] * active_f, tile_rows, dt, cfg.dx, cfg.inv_dx,
+    )
+
+    windows = transfer.p2g_tiled_t(pdata, layout["block_tile"], t3,
+                                   interpret=interpret)
+    if MM_FOLD:
+        # matmul-fold path: combine/extract as constant-matrix MXU dots in
+        # the kernel-native layout (tiling.combine_windows_mm docstring)
+        grid_blocked = tiling.combine_windows_mm(windows, t, transfer.N_GRID_CH)
+    else:
+        # blocked-grid path: windows and grid stay tile-blocked, so combine
+        # and extract are pure static slicing (no interleaving transposes)
+        win_blocked = windows.reshape(
+            t, t, t, transfer.N_GRID_CH, WIN_S, WIN_S, WIN_S
         )
-
-    active = (state.selection == 0).astype(jnp.float32)
-    pdata = transfer.build_pdata(
-        state.x, state.v, C, state.stress, state.mass * active,
-        state.vol * active, tile_coords, dt, cfg.dx, cfg.inv_dx,
-    )
-
-    windows = transfer.p2g_tiled(pdata, layout["block_tile"], t3, interpret=interpret)
-    # blocked-grid path: windows and grid stay tile-blocked, so combine and
-    # extract are pure static slicing (no interleaving transposes)
-    win_blocked = windows.reshape(
-        t, t, t, transfer.N_GRID_CH, WIN_S, WIN_S, WIN_S
-    )
-    grid_blocked = tiling.combine_windows_blocked(win_blocked, transfer.N_GRID_CH)
+        grid_blocked = tiling.combine_windows_blocked(
+            win_blocked, transfer.N_GRID_CH)
 
     grid_cl = jnp.moveaxis(grid_blocked, 3, -1)  # channel-last (2MB, cheap)
     grid_v = grid_momentum_to_velocity(grid_cl, cfg, dt)
@@ -151,47 +243,57 @@ def p2g2p_fast(state: MPMState, layout, cfg: MPMConfig, bcs, time, dt,
         grid_v = apply_grid_bcs(grid_v, _blocked_node_x(cfg), cfg, dt, time, bcs)
     grid_v = grid_v * _blocked_valid_mask(cfg)[..., None]
 
-    g2p_wins = tiling.extract_windows_blocked(
-        jnp.moveaxis(grid_v, -1, 3)
-    ).reshape(t3, transfer.N_VEL_CH * WIN_S, WIN_S * WIN_S)
-    out = transfer.g2p_tiled(pdata, g2p_wins, layout["block_tile"],
-                             interpret=interpret)
+    if MM_FOLD:
+        g2p_wins = tiling.extract_windows_mm(jnp.moveaxis(grid_v, -1, 3))
+    else:
+        g2p_wins = tiling.extract_windows_blocked(
+            jnp.moveaxis(grid_v, -1, 3)
+        ).reshape(t3, transfer.N_VEL_CH * WIN_S, WIN_S * WIN_S)
+    out = transfer.g2p_tiled_t(pdata, g2p_wins, layout["block_tile"],
+                               interpret=interpret)
 
-    new_v = jnp.stack([out[:, 0], out[:, 7], out[:, 14]], axis=-1)
-    new_C = jnp.stack(
-        [
-            jnp.stack([out[:, c * 7 + 1 + a] for a in range(3)], axis=-1)
-            for c in range(3)
-        ],
-        axis=-2,
-    ) * (cfg.inv_dx * 4.0)
-    grad_v = jnp.stack(
-        [
-            jnp.stack([out[:, c * 7 + 4 + a] for a in range(3)], axis=-1)
-            for c in range(3)
-        ],
-        axis=-2,
-    ) * cfg.inv_dx
+    new_v = [out[c * 7] for c in range(3)]
+    sC = cfg.inv_dx * 4.0
+    new_C = [out[c * 7 + 1 + a] * sC for c in range(3) for a in range(3)]
+    grad_v = [out[c * 7 + 4 + a] * cfg.inv_dx for c in range(3) for a in range(3)]
 
-    x_new = state.x + dt * new_v
-    eye = jnp.eye(3, dtype=jnp.float32)
-    F_trial_new = mat3.matmul(eye[None] + grad_v * dt, state.F)
+    x_new = [x_rows[a] + dt * new_v[a] for a in range(3)]
+    eye = soa.identity_rows(grad_v[0])
+    a_rows = [e + g * dt for e, g in zip(eye, grad_v)]
+    F_trial_new = soa.mm(a_rows, F_rows)
 
-    is_active = (state.selection == 0)
-    am = is_active[:, None]
-    amm = is_active[:, None, None]
-    out_state = state.replace(
-        v=jnp.where(am, new_v, state.v),
-        x=jnp.where(am, x_new, state.x),
-        C=jnp.where(amm, new_C, state.C),
-        F_trial=jnp.where(amm, F_trial_new, state.F_trial),
-    )
+    is_active = sd["selection"] == 0
+    out_sd = dict(sd)
+    out_sd["F"] = soa.pack(F_rows)
+    out_sd["stress"] = soa.pack(stress_rows)
+    out_sd["yield_stress"] = ys
+    out_sd["mu"] = mu
+    out_sd["lam"] = lam
+    out_sd["v"] = soa.pack(soa.where_rows(is_active, new_v, v_rows))
+    out_sd["x"] = soa.pack(soa.where_rows(is_active, x_new, x_rows))
+    out_sd["C"] = soa.pack(soa.where_rows(is_active, new_C, soa.unpack(sd["C"])))
+    out_sd["F_trial"] = soa.pack(
+        soa.where_rows(is_active, F_trial_new, soa.unpack(sd["F_trial"])))
     if cfg.update_cov_with_F:
-        from pixie_tpu.sim.solver import _update_cov  # noqa: PLC0415
+        c6 = soa.unpack(sd["cov"])  # [00, 01, 02, 11, 12, 22]
+        cm = [c6[0], c6[1], c6[2], c6[1], c6[3], c6[4], c6[2], c6[4], c6[5]]
+        gc = soa.mm(grad_v, cm)
+        gct = soa.transpose(gc)
+        cov_new = [c + dt * (g + gt) for c, g, gt in zip(cm, gc, gct)]
+        cov_rows = [cov_new[0], cov_new[1], cov_new[2],
+                    cov_new[4], cov_new[5], cov_new[8]]
+        out_sd["cov"] = soa.pack(
+            soa.where_rows(is_active, cov_rows, c6))
+    return out_sd
 
-        cov = _update_cov(state.cov, grad_v, dt)
-        out_state = out_state.replace(cov=jnp.where(am, cov, state.cov))
-    return out_state
+
+def p2g2p_fast(state: MPMState, layout, cfg: MPMConfig, bcs, time, dt,
+               interpret: bool = False) -> MPMState:
+    """One substep on padded tile-sorted AoS state (wrapper over the SoA
+    path; semantics of solver.p2g2p)."""
+    sd = state_to_soa(state)
+    sd = p2g2p_fast_soa(sd, layout, cfg, bcs, time, dt, interpret=interpret)
+    return soa_to_state(sd, state)
 
 
 @functools.partial(
@@ -208,13 +310,17 @@ def simulate_substeps_fast(state_padded: MPMState, block_tile, tile_coords,
         "occupied": occupied,
     }
 
-    def body(st, step):
+    def body(sd, step):
         t_now = time0 + step.astype(jnp.float32) * dt
-        st = p2g2p_fast(st, layout, cfg, bcs, t_now, dt, interpret=interpret)
-        return st, None
+        sd = p2g2p_fast_soa(sd, layout, cfg, bcs, t_now, dt,
+                            interpret=interpret)
+        return sd, None
 
-    state_padded, _ = jax.lax.scan(body, state_padded, jnp.arange(n_substeps))
-    return state_padded
+    # the scan carries the SoA layout (lane-efficient); AoS<->SoA transposes
+    # run once per frame, amortized over n_substeps
+    sd, _ = jax.lax.scan(body, state_to_soa(state_padded),
+                         jnp.arange(n_substeps))
+    return soa_to_state(sd, state_padded)
 
 
 class FastMPMSolver:

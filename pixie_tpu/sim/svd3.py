@@ -99,13 +99,22 @@ def svd3(f: jnp.ndarray, sweeps: int = 5):
     w1, v1, w2, v2 = cswap(w1, v1, w2, v2)
     w = jnp.stack([w0, w1, w2], axis=-1)
 
-    # Make V a proper rotation before building U (avoids .at[] scatters).
-    det_v = (
-        v0[..., 0] * (v1[..., 1] * v2[..., 2] - v1[..., 2] * v2[..., 1])
-        - v1[..., 0] * (v0[..., 1] * v2[..., 2] - v0[..., 2] * v2[..., 1])
-        + v2[..., 0] * (v0[..., 1] * v1[..., 2] - v0[..., 2] * v1[..., 1])
+    # Make V a proper rotation: re-orthonormalize (Gram-Schmidt + cross
+    # completion).  For (near-)degenerate eigenvalues the fused Jacobi can
+    # drift V off orthogonality (observed on XLA:CPU as duplicated columns
+    # inside larger fusion contexts); a non-rotation V makes the sand
+    # projection u v^T singular -> log(0) -> NaN.  v2 = v0 x v1 also gives
+    # det(V) = +1 by construction (replacing the sign flip).
+    v0 = _normalize(v0)
+    v1 = v1 - jnp.sum(v1 * v0, axis=-1, keepdims=True) * v0
+    exv = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], f.dtype), v0.shape)
+    eyv = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], f.dtype), v0.shape)
+    alt_v = _cross(v0, exv)
+    alt_v = jnp.where(_norm3(alt_v, keepdims=True) < 1e-6, _cross(v0, eyv), alt_v)
+    v1 = jnp.where(
+        _norm3(v1, keepdims=True) < 1e-6, _normalize(alt_v), _normalize(v1)
     )
-    v2 = v2 * jnp.sign(det_v)[..., None]
+    v2 = _cross(v0, v1)
     v = jnp.stack([v0, v1, v2], axis=-1)
 
     sigma = jnp.sqrt(jnp.maximum(w, 0.0))
