@@ -138,6 +138,75 @@ def render_feature_colored_mesh(cfg, paths, turntable_frames: int = 24):
     return outs
 
 
+def render_blender(cfg, paths, mode: str):
+    """Shell out to the bundled bpy scripts (reference render.py:93-259:
+    render_blender_gs builds a `blender -b -P pixie/blender/render_gs.py`
+    command over the sim's ply_files; render_blender_glb the GLB analog)."""
+    from pixie_tpu.utils.proc import run_cmd
+
+    blender = str(cfg.paths.get("blender_path", "blender"))
+    scripts = Path(__file__).parent / "pixie_tpu" / "blender"
+    out_dir = Path(paths["blender_output"]) / mode
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if mode == "blender_gs":
+        rc = cfg.output_rendering.get("blender_render_gs", {})
+        ply_dir = (Path(paths["physgaussian_output"])
+                   / f"sample_{cfg.physics.sample_id}" / "ply_files")
+        cmd = [
+            blender, "-b", "-P", str(scripts / "render_gs.py"), "--",
+            "--obj_id", cfg.obj_id,
+            "--ply_dir", str(ply_dir),
+            "--output_dir", str(out_dir),
+            "--data_dir", str(cfg.paths.get("data_dir", ".")),
+            "--blender_gs_addon_path",
+            str(cfg.paths.get("blender_gs_addon_path", "")),
+        ]
+        blend = cfg.paths.get("blend_file_path")
+        if blend:
+            cmd += ["--blend_file_path", str(blend)]
+        for key in ("camera_id", "rotate_around", "focal_length_ratio",
+                    "resolution_x", "resolution_y", "cycles_samples",
+                    "num_renders", "start_frame"):
+            if rc.get(key) is not None:
+                cmd += [f"--{key}", str(rc[key])]
+        for flag in ("place_on_ground", "is_dropping", "transparent",
+                     "save_blend"):
+            if rc.get(flag, False):
+                cmd.append(f"--{flag}")
+        if rc.get("bg_color") is not None:
+            cmd += ["--bg_color"] + [str(c) for c in rc["bg_color"]]
+        for key, default in (("init_xyz", (0.0, 0.0, 0.0)),
+                             ("xyz_rotation", (0.0, 0.0, 0.0))):
+            cmd += [f"--{key}"] + [str(v) for v in rc.get(key, default)]
+        if cfg.get("overwrite", False):
+            cmd.append("--overwrite")
+    else:  # blender_glb
+        rc = cfg.output_rendering.get("blender_render_glb", {})
+        sdir = Path(paths["render_output"]) / "feature_colors"
+        mesh = sdir / "painted_mesh.glb"
+        if not mesh.exists():
+            mesh = Path(cfg.paths.get("data_dir", ".")) / f"{cfg.obj_id}.glb"
+        cmd = [
+            blender, "-b", "-P", str(scripts / "render_glb.py"), "--",
+            "--obj", str(mesh),
+            "--obj_id", cfg.obj_id,
+            "--output_folder", str(out_dir),
+            "--data_dir", str(cfg.paths.get("data_dir", ".")),
+        ]
+        blend = cfg.paths.get("blend_file_path")
+        if blend:
+            cmd += ["--blend_file_path", str(blend)]
+        for key in ("views", "resolution", "scene_scale", "camera_id",
+                    "focal_length", "cycles_samples"):
+            if rc.get(key) is not None:
+                cmd += [f"--{key}", str(rc[key])]
+        if rc.get("transparent", False):
+            cmd.append("--transparent")
+    run_cmd(cmd, step_name=f"RENDER_{mode.upper()}")
+    return out_dir
+
+
 def _save_png(path, img):
     from PIL import Image
 
@@ -167,10 +236,7 @@ def main(argv=None):
             if shutil.which(str(cfg.paths.get("blender_path", "blender"))) is None:
                 logging.warning("blender not found; skipping %s", mode)
             else:
-                raise NotImplementedError(
-                    "external Blender rendering: use the reference blender "
-                    "scripts against the artifacts this pipeline produces"
-                )
+                render_blender(cfg, paths, mode)
         else:
             raise ValueError(f"unknown render mode {mode!r}")
 
