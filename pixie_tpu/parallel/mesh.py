@@ -51,12 +51,82 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(put, tree)
 
 
-def initialize_distributed():
-    """Multi-host init (replaces dist.init_process_group; no-op single-host)."""
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> int:
+    """Multi-host init — the TPU-native replacement for the reference's
+    ``ddp_setup`` (pixie/training_utils.py:50-55: init_process_group(nccl) +
+    mp.spawn one proc/GPU).  On TPU pods each host runs ONE process; this
+    wires them into a single JAX runtime so ``jax.devices()`` spans the pod.
+
+    Args may be given explicitly (mirroring init_process_group's
+    master_addr/world_size/rank) or picked up from the standard JAX env /
+    TPU metadata automatically by ``jax.distributed.initialize()``.
+    No-op when already initialized or clearly single-host.
+    Returns the process count after initialization.
+    """
+    import os  # noqa: PLC0415
+
     try:
         if jax.process_count() > 1:
-            return  # already initialized
+            return jax.process_count()  # already initialized
     except RuntimeError:
         pass
-    if "JAX_COORDINATOR_ADDRESS" in __import__("os").environ:
-        jax.distributed.initialize()
+    explicit = coordinator_address is not None
+    env_driven = any(
+        k in os.environ
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+    )
+    if explicit or env_driven:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+        )
+    n = jax.process_count()
+    if n > 1:
+        import logging  # noqa: PLC0415
+
+        logging.info(
+            "distributed: process %d/%d, %d local + %d global devices",
+            jax.process_index(), n, jax.local_device_count(),
+            jax.device_count(),
+        )
+    return n
+
+
+def get_pod_mesh(dp: int | None = None, sp: int = 1) -> Mesh:
+    """Multi-host-aware mesh: on a pod (process_count > 1) lay the dp axis
+    across hosts first so its collectives ride DCN-adjacent boundaries only
+    for the gradient psum while sp stays inside each host's ICI domain
+    (scaling-book recipe: put the fastest-varying sharded axis on ICI).
+    Single-host: identical to get_mesh."""
+    if jax.process_count() == 1:
+        return get_mesh(dp=dp, sp=sp)
+    from jax.experimental import mesh_utils  # noqa: PLC0415
+
+    n = jax.device_count()
+    if dp is None:
+        dp = n // sp
+    assert dp * sp == n, f"dp({dp}) * sp({sp}) != n_devices({n})"
+    arr = mesh_utils.create_device_mesh(
+        (dp, sp), allow_split_physical_axes=True
+    )
+    return Mesh(arr, axis_names=("dp", "sp"))
+
+
+def host_local_to_global(mesh: Mesh, tree, axis: str = "dp"):
+    """Assemble per-host batch shards into one global array (multi-host;
+    replaces DistributedSampler's rank-local split).  Single-host: same as
+    shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, tree, axis)
+    from jax.experimental import multihost_utils  # noqa: PLC0415
+
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return multihost_utils.host_local_array_to_global_array(
+            x, mesh, spec
+        )
+
+    return jax.tree.map(put, tree)

@@ -225,3 +225,31 @@ def load_field_checkpoint(output_dir: str | Path):
     path = Path(output_dir).resolve() / "checkpoints" / "field"
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path)
+
+
+def main(argv=None):
+    """ns-train-equivalent CLI (reference: `ns-train f3rm --data <dir>`;
+    SURVEY §2.2).  Usage:
+        python -m pixie_tpu.recon.train_field --data <capture_dir> \
+            --output <out_dir> [--features clip_features.npy] [--iters N]
+    """
+    import argparse  # noqa: PLC0415
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--features", default=None,
+                    help="per-view CLIP patch features npy (enables the "
+                    "feature head, f3rm distillation)")
+    ap.add_argument("--iters", type=int, default=5000)
+    ap.add_argument("--log-every", type=int, default=500)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    train_feature_field(
+        args.data, args.output, max_iterations=args.iters,
+        features_path=args.features, log_every=args.log_every,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -298,3 +298,29 @@ def search_for_max_iteration(point_cloud_dir: str | Path) -> int:
         except (IndexError, ValueError):
             continue
     return best
+
+
+def main(argv=None):
+    """3DGS training CLI (reference: gaussian-splatting/train.py -s <data>).
+    Usage:
+        python -m pixie_tpu.recon.train_gaussians --data <capture_dir> \
+            --output <model_dir> [--iters N] [--downscale K]
+    """
+    import argparse  # noqa: PLC0415
+    import logging  # noqa: PLC0415
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--iters", type=int, default=10000)
+    ap.add_argument("--downscale", type=int, default=1)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    train_gaussian_splatting(
+        args.data, args.output, iterations=args.iters,
+        image_downscale=args.downscale,
+    )
+
+
+if __name__ == "__main__":
+    main()

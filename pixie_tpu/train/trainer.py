@@ -33,7 +33,8 @@ from flax import traverse_util
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pixie_tpu.models.unet3d import RegressionUNet, SegmentationUNet
-from pixie_tpu.parallel.mesh import get_mesh
+from pixie_tpu.parallel.mesh import (get_mesh, get_pod_mesh,
+                                     initialize_distributed)
 from pixie_tpu.train.data import MaterialVoxelDataset, save_splits, train_test_split
 from pixie_tpu.utils.metrics import compute_accuracy, masked_mean
 
@@ -131,7 +132,13 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else get_mesh()
+        if mesh is None:
+            # multi-host: join the pod runtime first (no-op single-host),
+            # then span the global device set (training_utils.py:50-55
+            # ddp_setup equivalent)
+            initialize_distributed()
+            mesh = get_pod_mesh()
+        self.mesh = mesh
         self.model = build_model(cfg)
         self.tx = None
         self.params = None

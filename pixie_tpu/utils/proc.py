@@ -33,6 +33,33 @@ WHITELIST_PATTERNS = (
     "Unable to open a display",
 )
 
+# Whole-output contextual allowlist: these failure signatures are forgiven
+# ONLY when a success indicator also appears (reference
+# _is_blender_nerf_error_only / _is_gaussian_splatting_addon_error_only,
+# pixie/utils.py:108-133).  Each entry: (noise patterns any-of,
+# success indicators any-of).
+CONTEXTUAL_ALLOWLIST = (
+    # harmless BlenderNeRF camera lookup error
+    (("BlenderNeRF Camera",),
+     ("Blender quit", "Finished", "Normalized scene exported")),
+    # harmless Gaussian Splatting addon unregister error
+    (("missing bl_rna attribute from '_RNAMeta' instance",
+      "Exception in module unregister():",
+      "gaussian_splatting_io"),
+     ("Blender quit", "Finished", "Video saved to")),
+)
+
+
+def _is_allowlisted_noise(output_text: str) -> bool:
+    """True when the output's error signature matches a contextual allowlist
+    entry AND the corresponding success indicator is present."""
+    for noise, success in CONTEXTUAL_ALLOWLIST:
+        if any(p in output_text for p in noise) and any(
+            s in output_text for s in success
+        ):
+            return True
+    return False
+
 
 class CommandError(RuntimeError):
     pass
@@ -86,6 +113,11 @@ def run_cmd(cmd, allow_error: bool = False, cwd=None, env=None,
                 flagged = stripped
     proc.wait()
     output = "".join(lines)
+
+    if flagged is not None and _is_allowlisted_noise(output):
+        logging.info("ignoring allowlisted error noise (%r): command "
+                     "completed with a success indicator", flagged)
+        flagged = None
 
     failed = proc.returncode != 0 or flagged is not None
     if failed and not allow_error:

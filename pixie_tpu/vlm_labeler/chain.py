@@ -36,6 +36,81 @@ def load_training_views(data_dir: str | Path, n_views: int = 15, seed: int = 0):
     return [Image.open(pngs[i]).convert("RGB") for i in picks]
 
 
+def viz_seg_candidates(
+    paths: dict,
+    all_queries: list[list[str]],
+    text_encoder=None,
+    query_embs=None,
+    grid_size: int = 200,
+    gray_threshold: float = 0.05,
+    softmax_temperature: float = 0.1,
+    overwrite: bool = False,
+):
+    """Stage 2: re-voxelize the trained field at the fine viz grid (200^3,
+    reference vlm_viz_seg_candidates.py:10-73) and render per-candidate CLIP
+    similarity heatmaps for the critic.
+
+    Returns {query_idx: [heatmap paths]}.  Falls back to the 64^3 learning
+    voxelization when no trained field is available (offline fixtures), and
+    to {} when neither exists.
+    """
+    from pixie_tpu.utils.paths import voxel_artifact_paths  # noqa: PLC0415
+    from pixie_tpu.voxel.segmentation import (  # noqa: PLC0415
+        encode_queries, run_clip_similarity,
+    )
+    from pixie_tpu.voxel.viz_segmentation import (  # noqa: PLC0415
+        render_similarity_heatmaps,
+    )
+
+    render_out = Path(paths["render_output"])
+    fine_npz = render_out / f"clip_features_{grid_size}.npz"
+
+    if overwrite or not fine_npz.exists():
+        try:
+            from pixie_tpu.recon.field_adapter import load_field_adapter  # noqa: PLC0415
+            from pixie_tpu.voxel.voxelize import extract_feature_voxel_grid  # noqa: PLC0415
+
+            adapter = load_field_adapter(paths["nerf_output"])
+            extract_feature_voxel_grid(
+                adapter, fine_npz, voxel_size=1.0 / grid_size,
+                gray_threshold_for_mask=gray_threshold, expected_grid=None,
+            )
+        except Exception as e:  # noqa: BLE001
+            logging.warning("fine re-voxelization unavailable (%s)", e)
+
+    src = fine_npz if fine_npz.exists() else Path(
+        voxel_artifact_paths(str(render_out))["npz"])
+    feat_p = Path(str(src).replace(".npz", "_features.npy"))
+    if not feat_p.exists():
+        logging.warning("no voxel features for candidate viz; skipping")
+        return {}
+    feats = np.load(feat_p).astype(np.float32)
+    mask_p = Path(str(src).replace(".npz", "_mask.npy"))
+    if mask_p.exists():
+        occ = np.load(mask_p).astype(bool)
+    else:
+        occ = np.ones(feats.shape[:-1], bool)
+    coords = np.stack(np.nonzero(occ), axis=-1).astype(np.float32)
+    coords /= max(feats.shape[0] - 1, 1)
+    fo = feats[occ]
+
+    base_dir = Path(paths["vlm_base_dir"])
+    out = {}
+    for i, queries in enumerate(all_queries):
+        # precomputed embeddings only apply when aligned with this set
+        qe = query_embs if query_embs is not None and \
+            len(np.asarray(query_embs)) == len(queries) else None
+        try:
+            q_embs = encode_queries(queries, text_encoder, qe)
+        except Exception as e:  # noqa: BLE001
+            logging.warning("query encoding unavailable (%s); skipping viz", e)
+            return out
+        _, sims = run_clip_similarity(fo, q_embs, softmax_temperature)
+        out[i] = render_similarity_heatmaps(
+            coords, sims, queries, base_dir / f"query_{i}")
+    return out
+
+
 def run_vlm_labeling_chain(
     cfg,
     paths: dict,
@@ -61,15 +136,28 @@ def run_vlm_labeling_chain(
     )
     seg_result = seg_agent.generate_prediction(views, overwrite=cfg.overwrite)
 
-    # stage 2+3: similarity renders per candidate + critic pick.
+    # stage 2: fine (200^3) re-voxelization + per-candidate similarity
+    # heatmaps; stage 3: critic pick over them.
     # Offline fallback: first candidate wins when no critic backend.
+    heatmaps = viz_seg_candidates(
+        paths, seg_result["all_queries"],
+        text_encoder=text_encoder, query_embs=query_embs,
+        grid_size=int(cfg.segmentation.get("viz_grid_size", 200)),
+        softmax_temperature=cfg.segmentation.softmax_temperature,
+        overwrite=cfg.overwrite,
+    )
     try:
+        from PIL import Image  # noqa: PLC0415
+
+        heat_imgs = [
+            [Image.open(p).convert("RGB") for p in heatmaps.get(i, [])]
+            for i in range(len(seg_result["all_queries"]))
+        ]
         critic = SegmentationCriticAgent(
             AgentConfig(model_name, str(base_dir / "critic")), backend=backend
         )
         critic_result = critic.generate_prediction(
-            views, [[] for _ in seg_result["all_queries"]],
-            overwrite=cfg.overwrite,
+            views, heat_imgs, overwrite=cfg.overwrite,
         )
         best_idx = int(critic_result["best_query"])
     except Exception as e:  # noqa: BLE001

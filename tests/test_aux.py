@@ -240,3 +240,41 @@ class TestManualFilter:
                            "unreviewed": 1}
         assert list(filter_objects(meta, status="rejected")) == ["z"]
         assert list(filter_objects(meta, obj_class="c1")) == ["x", "y"]
+
+
+class TestRenderPool:
+    """Parallel Blender render pool (data_curation/render_pool.py;
+    reference render_objaverse_classes.py:12-73)."""
+
+    def test_build_jobs_round_robin_and_caps(self, tmp_path):
+        from pixie_tpu.data_curation.render_pool import build_render_jobs
+
+        ds = {"chair": ["a", "b", "c"], "plant": ["d"]}
+        jobs = build_render_jobs(ds, tmp_path, tmp_path / "out",
+                                 max_objs_per_class=2, num_gpus=2)
+        assert [j["uid"] for j in jobs] == ["a", "b", "d"]
+        assert [j["gpu_id"] for j in jobs] == [0, 1, 0]
+        assert jobs[0]["output_dir"].endswith("chair/a")
+
+    def test_pool_runs_and_reports_failures(self, tmp_path):
+        from pixie_tpu.data_curation import render_pool as rp
+
+        jobs = [{"uid": u, "glb": "x.glb", "output_dir": str(tmp_path / u)}
+                for u in "abc"]
+        results = rp.render_pool(jobs, num_workers=2,
+                                 worker_fn=_fake_render)
+        assert results == [True, False, True]
+
+    def test_skip_already_rendered(self, tmp_path):
+        from pixie_tpu.data_curation.render_pool import render_object
+
+        out = tmp_path / "done"
+        out.mkdir()
+        (out / "0.png").write_bytes(b"")
+        assert render_object({"uid": "x", "glb": "missing.glb",
+                              "output_dir": str(out)})
+
+
+def _fake_render(job):
+    # module-level for pickling into pool workers
+    return job["uid"] != "b"

@@ -1,6 +1,7 @@
 """VLM labeling chain tests with the mock backend (offline-safe)."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -246,3 +247,59 @@ class TestClassInstructions:
             backend=MockVLM(),
         )
         assert "chair" in generic.system_instruction
+
+
+class TestVizSegCandidates:
+    """Stage-2 candidate viz: fine re-voxelization fallback + heatmaps
+    (reference vlm_viz_seg_candidates.py:10-73)."""
+
+    def _fixture(self, tmp_path):
+        rng = np.random.default_rng(0)
+        render_out = tmp_path / "render_outputs" / "obj"
+        render_out.mkdir(parents=True)
+        feats = rng.normal(size=(8, 8, 8, 16)).astype(np.float16)
+        np.save(render_out / "clip_features_features.npy", feats)
+        mask = np.zeros((8, 8, 8), np.float32)
+        mask[2:6, 2:6, 2:6] = 1
+        np.save(render_out / "clip_features_mask.npy", mask)
+        np.savez(render_out / "clip_features.npz",
+                 min_bounds=np.zeros(3, np.float32),
+                 max_bounds=np.ones(3, np.float32),
+                 voxel_size=np.float32(1 / 8))
+        return {
+            "render_output": str(render_out),
+            "nerf_output": str(tmp_path / "outputs" / "obj" / "f3rm"),
+            "vlm_base_dir": str(tmp_path / "vlm" / "obj"),
+        }
+
+    def test_heatmaps_rendered_per_candidate(self, tmp_path):
+        from pixie_tpu.vlm_labeler.chain import viz_seg_candidates
+
+        paths = self._fixture(tmp_path)
+        rng = np.random.default_rng(1)
+        enc = lambda qs: rng.normal(size=(len(qs), 16)).astype(np.float32)
+        out = viz_seg_candidates(
+            paths, [["leg", "seat"], ["frame", "cushion", "base"]],
+            text_encoder=enc,
+        )
+        assert set(out) == {0, 1}
+        assert len(out[0]) == 2 and len(out[1]) == 3
+        for p in out[0] + out[1]:
+            assert Path(p).exists()
+        assert "query_0" in out[0][0] and "query_1" in out[1][0]
+
+    def test_no_encoder_skips_gracefully(self, tmp_path):
+        from pixie_tpu.vlm_labeler.chain import viz_seg_candidates
+
+        paths = self._fixture(tmp_path)
+        assert viz_seg_candidates(paths, [["a"]]) == {}
+
+    def test_no_features_skips_gracefully(self, tmp_path):
+        from pixie_tpu.vlm_labeler.chain import viz_seg_candidates
+
+        paths = {
+            "render_output": str(tmp_path / "nothing"),
+            "nerf_output": str(tmp_path / "nothing"),
+            "vlm_base_dir": str(tmp_path / "vlm"),
+        }
+        assert viz_seg_candidates(paths, [["a"]]) == {}
