@@ -31,12 +31,21 @@ def extract_clip_features(
     model_name: str = CLIPArgs.model_name,
     batch_size: int = 4,
     device: str = "cpu",
+    backend: str = "jax",
 ) -> np.ndarray:
     """Images -> (N, Hp, Wp, 768) dense patch features (pre-projection
-    hidden states, as f3rm uses)."""
+    hidden states, as f3rm uses).
+
+    backend="jax" (default): torch only loads the weights; the tower runs
+    as the flax CLIPVisionTower (recon/clip_jax.py) on the default JAX
+    device — the TPU path.  backend="torch": the HF module end-to-end.
+    """
     if cache_path is not None and Path(cache_path).exists():
         logging.info("loading cached CLIP features from %s", cache_path)
         return np.load(cache_path)
+
+    if backend == "jax":
+        return _extract_jax(image_paths, cache_path, model_name, batch_size)
 
     try:
         import torch  # noqa: PLC0415
@@ -73,6 +82,54 @@ def extract_clip_features(
         np.save(cache_path, features)
         logging.info("cached CLIP features to %s", cache_path)
     return features
+
+
+def _extract_jax(image_paths, cache_path, model_name, batch_size):
+    """Load HF weights once (torch, CPU), convert, run the flax tower."""
+    try:
+        import torch  # noqa: PLC0415
+        from PIL import Image  # noqa: PLC0415
+        from transformers import CLIPVisionModel  # noqa: PLC0415
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            f"CLIP weights unavailable ({e}); provide precomputed features"
+        ) from e
+    from pixie_tpu.recon.clip_jax import (  # noqa: PLC0415
+        CLIPVisionConfig, convert_clip_vision_state_dict,
+        extract_clip_features_jax,
+    )
+
+    model = CLIPVisionModel.from_pretrained(model_name)
+    hf = model.config
+    cfg = CLIPVisionConfig(
+        hidden_size=hf.hidden_size, intermediate_size=hf.intermediate_size,
+        num_hidden_layers=hf.num_hidden_layers,
+        num_attention_heads=hf.num_attention_heads,
+        patch_size=hf.patch_size, image_size=hf.image_size,
+    )
+    params = convert_clip_vision_state_dict(model.state_dict(), cfg)
+    del model
+    torch.cuda.empty_cache() if torch.cuda.is_available() else None
+
+    # resize shortest edge to image_size, snap to patch multiples (center
+    # crop skipped — CLIPArgs; rectangular grids handled by pos interp)
+    imgs = []
+    for p in image_paths:
+        im = Image.open(p).convert("RGB")
+        w, h = im.size
+        s = cfg.image_size / min(w, h)
+        nw = max(round(w * s / cfg.patch_size), 1) * cfg.patch_size
+        nh = max(round(h * s / cfg.patch_size), 1) * cfg.patch_size
+        imgs.append(np.asarray(im.resize((nw, nh), Image.BICUBIC),
+                               np.float32) / 255.0)
+    stacked = np.stack(imgs)
+    feats = extract_clip_features_jax(stacked, params, cfg,
+                                      batch_size=batch_size)
+    feats = feats.astype(np.float16)
+    if cache_path is not None:
+        Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
+        np.save(cache_path, feats)
+    return feats
 
 
 def encode_text_queries(queries: list[str],

@@ -183,6 +183,47 @@ def rasterize(params, viewmat, cam: Camera, bg_color=1.0, scaling_modifier=1.0,
 # tiled path
 # ---------------------------------------------------------------------------
 
+def _sort_columns(key, cols):
+    """Variadic lax.sort: reorder each (N,) column by ascending ``key``.
+    Returns (sorted_key_payloads...).  Used instead of argsort + row gather:
+    XLA:TPU rewrites that pattern (when the operand is a concat of computed
+    columns) into a dense one-hot contraction — an (N, N+F) 40 GB
+    allocation at 100k splats — while the explicit variadic sort lowers
+    cleanly."""
+    return jax.lax.sort((key, *cols), num_keys=1)
+
+
+@jax.custom_vjp
+def _depth_permute(depth, data):
+    """data (N, F) sorted by ascending depth -> (sorted_data, order).
+
+    order[i] = original index of sorted row i.  Custom VJP: a permutation's
+    exact cotangent is the inverse permutation, expressed as another
+    variadic sort keyed on ``order`` (sorting by the permutation IS its
+    inverse application)."""
+    return _depth_permute_fwd(depth, data)[0]
+
+
+def _depth_permute_fwd(depth, data):
+    n, f = data.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = _sort_columns(depth, [iota] + [data[:, i] for i in range(f)])
+    order = out[1]
+    sorted_data = jnp.stack(out[2:], axis=1)
+    return (sorted_data, order), order
+
+
+def _depth_permute_bwd(order, cts):
+    ct_data, _ct_order = cts
+    f = ct_data.shape[1]
+    inv = _sort_columns(order, [ct_data[:, i] for i in range(f)])
+    grad_data = jnp.stack(inv[1:], axis=1)
+    return jnp.zeros_like(order, jnp.float32), grad_data
+
+
+_depth_permute.defvjp(_depth_permute_fwd, _depth_permute_bwd)
+
+
 @jax.custom_vjp
 def _tile_gather(data, gidx):
     """data (N, F) gathered at gidx (T, C) -> (T, C, F).
@@ -203,9 +244,10 @@ def _tile_gather_bwd(res, ct):
     f = ct.shape[-1]
     flat_idx = gidx.reshape(-1)
     flat_ct = ct.reshape(-1, f)
-    order = jnp.argsort(flat_idx)
-    sidx = flat_idx[order]
-    sct = flat_ct[order]
+    # variadic sort instead of argsort + row gather (see _sort_columns)
+    out = _sort_columns(flat_idx, [flat_ct[:, i] for i in range(f)])
+    sidx = out[0]
+    sct = jnp.stack(out[1:], axis=1)
     csum = jnp.cumsum(sct.astype(jnp.float32), axis=0)
     csum = jnp.concatenate([jnp.zeros((1, f), jnp.float32), csum], axis=0)
     # segment [lo_i, hi_i) of rows belonging to gaussian i
@@ -245,9 +287,12 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
     n = means2d.shape[0]
 
     # depth order once; from here on index order == blend order
-    order = jnp.argsort(depth)
+    packed, _order = _depth_permute(
+        depth,
+        jnp.concatenate([means2d, cov2d, rgb, opacity[:, None]], axis=-1),
+    )
     means2d, cov2d, rgb, opacity = (
-        means2d[order], cov2d[order], rgb[order], opacity[order]
+        packed[:, 0:2], packed[:, 2:5], packed[:, 5:8], packed[:, 8]
     )
 
     det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2

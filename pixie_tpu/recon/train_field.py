@@ -43,6 +43,25 @@ class FieldTrainConfig:
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
 
 
+# Method-config registry — the nerfstudio `method_configs` analog (reference
+# f3rm/f3rm_config.py registers "f3rm" as a nerfacto variant; `ns-train
+# <method>` selects one).  Values are FieldTrainConfig presets; extend by
+# registering new entries.
+METHOD_CONFIGS: dict[str, FieldTrainConfig] = {
+    # f3rm: nerfacto + CLIP feature head, the pipeline default
+    # (f3rm/f3rm_config.py:24-77)
+    "f3rm": FieldTrainConfig(),
+    # nerfacto: RGB-only (no distillation head)
+    "nerfacto": FieldTrainConfig(feat_loss_weight=0.0),
+    # quick preview profile (ns-train nerfacto --steps-per-save style short
+    # runs used by the curation filters)
+    "f3rm-lite": FieldTrainConfig(
+        max_iterations=2000, rays_per_batch=2048,
+        render=RenderConfig(n_coarse=48, n_fine=32),
+    ),
+}
+
+
 def load_blender_dataset(data_dir: str | Path, max_images: int | None = None):
     """Load a BlenderNeRF/Blender-format dataset: transforms.json + images.
 
@@ -238,15 +257,20 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--data", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--method", default="f3rm", choices=sorted(METHOD_CONFIGS),
+                    help="method preset (ns-train <method> analog)")
     ap.add_argument("--features", default=None,
                     help="per-view CLIP patch features npy (enables the "
                     "feature head, f3rm distillation)")
-    ap.add_argument("--iters", type=int, default=5000)
+    ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--log-every", type=int, default=500)
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    cfg = METHOD_CONFIGS[args.method]
+    if args.iters is not None:
+        cfg = dataclasses.replace(cfg, max_iterations=args.iters)
     train_feature_field(
-        args.data, args.output, max_iterations=args.iters,
+        args.data, args.output, cfg=cfg,
         features_path=args.features, log_every=args.log_every,
     )
 
