@@ -85,15 +85,45 @@ def render_blender_images(cfg, paths):
 
 def train_nerf(cfg, paths):
     out = Path(paths["nerf_output"])
-    ckpt = out / "checkpoints" / "field.msgpack"
+    ckpt = out / "checkpoints" / "field"
     if ckpt.exists() and not cfg.overwrite:
         logging.info("[nerf] checkpoint exists, skipping")
         return
     from pixie_tpu.recon.train_field import train_feature_field  # noqa: PLC0415
 
+    # CLIP distillation target: explicit path, else auto-extract from the
+    # training views (the f3rm method's datamanager behavior; cached).
+    features_path = cfg.training_3d.get("clip_features_path")
+    if features_path is None and cfg.training_3d.get("distill_features", True):
+        cache = out / "clip_patch_features.npy"
+        if not cache.exists():
+            try:
+                from pixie_tpu.recon.clip_features import extract_clip_features  # noqa: PLC0415
+
+                views = sorted(Path(paths["data_dir"]).glob("*.png"))
+                extract_clip_features(views, cache_path=cache)
+            except Exception as e:  # noqa: BLE001
+                logging.warning(
+                    "[nerf] CLIP extraction unavailable (%s); training "
+                    "without feature distillation", e)
+        if cache.exists():
+            features_path = str(cache)
+
+    import dataclasses  # noqa: PLC0415
+
+    from pixie_tpu.recon.field import RenderConfig  # noqa: PLC0415
+    from pixie_tpu.recon.train_field import FieldTrainConfig  # noqa: PLC0415
+
+    t3 = cfg.training_3d
+    fcfg = FieldTrainConfig(
+        max_iterations=t3.nerf_max_num_iterations,
+        rays_per_batch=t3.get("nerf_rays_per_batch", 4096),
+        render=RenderConfig(n_coarse=t3.get("nerf_n_coarse", 64),
+                            n_fine=t3.get("nerf_n_fine", 64)),
+    )
     train_feature_field(
         data_dir=paths["data_dir"], output_dir=str(out),
-        max_iterations=cfg.training_3d.nerf_max_num_iterations,
+        cfg=fcfg, features_path=features_path,
     )
 
 
@@ -158,6 +188,27 @@ def generate_neural_segmentation(cfg, paths):
         # mirroring the reference's normalization_stats/ payload)
         ranges_path = Path(__file__).parent / "normalization_stats" / "normalization_ranges.yaml"
     ranges = load_normalization_ranges(ranges_path)
+
+    # Fresh (unlabeled) objects have no GT material_grid.npy; the dataset
+    # contract requires one, so synthesize a placeholder from the occupancy
+    # mask (background everywhere outside it).  Metrics against it are
+    # meaningless — the pipeline only needs the prediction.
+    art0 = voxel_artifact_paths(str(render_out))
+    mat_fp = render_out / f"sample_{cfg.physics.sample_id}" / "material_grid.npy"
+    if not mat_fp.exists() and Path(art0["mask"]).exists():
+        import numpy as np  # noqa: PLC0415
+
+        occ = np.load(art0["mask"]) > 0
+        placeholder = np.zeros((*occ.shape, 4), np.float32)
+        placeholder[..., 0] = np.where(occ, 1000.0, 0.0)   # density
+        placeholder[..., 1] = np.where(occ, 1e5, 0.0)      # E
+        placeholder[..., 2] = np.where(occ, 0.3, 0.0)      # nu
+        placeholder[..., 3] = np.where(occ, 0, cfg.training.background_id)
+        mat_fp.parent.mkdir(parents=True, exist_ok=True)
+        np.save(mat_fp, placeholder)
+        logging.info("[neural] no GT material grid; wrote occupancy "
+                     "placeholder (metrics will be meaningless)")
+
     dataset = MaterialVoxelDataset(
         render_out.parent, ranges,
         grid_size=cfg.training.default_grid_size,
@@ -171,6 +222,12 @@ def generate_neural_segmentation(cfg, paths):
     obj_indices = [
         i for i, s in enumerate(dataset.samples) if s.obj_id == cfg.obj_id
     ]
+    if not obj_indices:
+        raise RuntimeError(
+            f"{cfg.obj_id} failed dataset validation (wrong feature dim or "
+            f"grid size? expected ({cfg.training.default_grid_size}^3, "
+            f"{cfg.training.feature_channels}))"
+        )
     seg_ckpt = latest_checkpoint(cfg.paths.discrete_checkpoint_dir)
     cont_ckpt = latest_checkpoint(cfg.paths.continuous_checkpoint_dir)
     if seg_ckpt is None or cont_ckpt is None:
@@ -229,6 +286,7 @@ def run_physics_simulation(cfg, paths, material_ply):
         point_cloud_path=material_ply,
         config_path=sim_cfg,
         output_dir=out,
+        n_frames=cfg.physics.get("n_frames"),
         save_ply=cfg.physics.save_ply,
         debug=cfg.physics.debug,
     )
