@@ -123,11 +123,15 @@ def rasterize(params, viewmat, cam: Camera, bg_color=1.0, scaling_modifier=1.0,
         means2d = means2d + mean2d_offset
     n = means2d.shape[0]
     pad = (-n) % chunk
-    order = jnp.argsort(depth)
-    means2d = jnp.pad(means2d[order], ((0, pad), (0, 0)))
-    cov2d = jnp.pad(cov2d[order], ((0, pad), (0, 0)), constant_values=1.0)
-    rgb = jnp.pad(rgb[order], ((0, pad), (0, 0)))
-    opacity = jnp.pad(opacity[order], ((0, pad),))
+    order = _argsort_f32(depth)
+    packed = _chunked_row_gather(
+        jnp.concatenate([means2d, cov2d, rgb, opacity[:, None]], axis=-1),
+        order,
+    )
+    means2d = jnp.pad(packed[:, 0:2], ((0, pad), (0, 0)))
+    cov2d = jnp.pad(packed[:, 2:5], ((0, pad), (0, 0)), constant_values=1.0)
+    rgb = jnp.pad(packed[:, 5:8], ((0, pad), (0, 0)))
+    opacity = jnp.pad(packed[:, 8], ((0, pad),))
 
     # inverse 2D covariance (conic, forward.cu:222-230)
     det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2
@@ -183,59 +187,60 @@ def rasterize(params, viewmat, cam: Camera, bg_color=1.0, scaling_modifier=1.0,
 # tiled path
 # ---------------------------------------------------------------------------
 
-def _sort_columns(key, cols):
-    """Variadic lax.sort: reorder each (N,) column by ascending ``key``.
-    Returns (sorted_key_payloads...).  Used instead of argsort + row gather:
-    XLA:TPU rewrites that pattern (when the operand is a concat of computed
-    columns) into a dense one-hot contraction — an (N, N+F) 40 GB
-    allocation at 100k splats — while the explicit variadic sort lowers
-    cleanly."""
-    return jax.lax.sort((key, *cols), num_keys=1)
+# TPU sort constraints (measured on v5e): 1-operand int sorts and 2-operand
+# (f32 key, i32 payload) sorts lower cleanly; variadic sorts with >=3
+# operands (or argsort followed by a multi-column row gather of COMPUTED
+# data) make the backend materialize a dense (N, N+F) temp — 40 GB at 100k
+# splats — or hang the compiler.  The tiled pipeline therefore never
+# permutes gaussian rows: only (f32, iota) argsorts, one big 1-op int key
+# sort, and an O(N) scatter-set for the inverse permutation.
 
 
-@jax.custom_vjp
-def _depth_permute(depth, data):
-    """data (N, F) sorted by ascending depth -> (sorted_data, order).
-
-    order[i] = original index of sorted row i.  Custom VJP: a permutation's
-    exact cotangent is the inverse permutation, expressed as another
-    variadic sort keyed on ``order`` (sorting by the permutation IS its
-    inverse application)."""
-    return _depth_permute_fwd(depth, data)[0]
-
-
-def _depth_permute_fwd(depth, data):
-    n, f = data.shape
-    iota = jnp.arange(n, dtype=jnp.int32)
-    out = _sort_columns(depth, [iota] + [data[:, i] for i in range(f)])
-    order = out[1]
-    sorted_data = jnp.stack(out[2:], axis=1)
-    return (sorted_data, order), order
+def _argsort_f32(key):
+    """(f32 key, iota) 2-op sort -> permutation (the one proven-safe
+    argsort shape on this backend)."""
+    n = key.shape[0]
+    return jax.lax.sort(
+        (key.astype(jnp.float32), jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1,
+    )[1]
 
 
-def _depth_permute_bwd(order, cts):
-    ct_data, _ct_order = cts
-    f = ct_data.shape[1]
-    inv = _sort_columns(order, [ct_data[:, i] for i in range(f)])
-    grad_data = jnp.stack(inv[1:], axis=1)
-    return jnp.zeros_like(order, jnp.float32), grad_data
+def _inverse_permutation(perm):
+    """rank[perm[i]] = i via a 1D int scatter-set (O(N) serial scatter is
+    ~1.4 ms at 100k — cheap next to the pipeline's sorts)."""
+    n = perm.shape[0]
+    return jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True,
+        indices_are_sorted=False, mode="promise_in_bounds",
+    )
 
 
-_depth_permute.defvjp(_depth_permute_fwd, _depth_permute_bwd)
+def _chunked_row_gather(data, idx, width: int = 3):
+    """data (N, F) gathered at idx (...,) in ``width``-column chunks.
+
+    Gather lowering on this backend is shape-sensitive: full (N, 9) row
+    gathers of computed operands either trigger a dense (N, N+F) rewrite
+    (compile-time OOM) or run ~500x slower than narrow gathers (139 ms vs
+    0.3 ms at 1.28M rows measured); <=4-column chunks are fast and safe."""
+    f = data.shape[-1]
+    return jnp.concatenate(
+        [data[:, i : i + width][idx] for i in range(0, f, width)], axis=-1
+    )
 
 
 @jax.custom_vjp
 def _tile_gather(data, gidx):
     """data (N, F) gathered at gidx (T, C) -> (T, C, F).
 
-    Forward is a plain row gather (fast on TPU).  The backward avoids XLA's
-    serial scatter-add: flatten the cotangents, sort them by gaussian index,
+    Forward is a chunked row gather.  The backward avoids XLA's serial
+    scatter-add: flatten the cotangents, sort them by gaussian index,
     cumsum, and difference at segment boundaries found with searchsorted."""
-    return data[gidx]
+    return _chunked_row_gather(data, gidx)
 
 
 def _tile_gather_fwd(data, gidx):
-    return data[gidx], (gidx, data.shape[0])
+    return _chunked_row_gather(data, gidx), (gidx, data.shape[0])
 
 
 def _tile_gather_bwd(res, ct):
@@ -244,16 +249,24 @@ def _tile_gather_bwd(res, ct):
     f = ct.shape[-1]
     flat_idx = gidx.reshape(-1)
     flat_ct = ct.reshape(-1, f)
-    # variadic sort instead of argsort + row gather (see _sort_columns)
-    out = _sort_columns(flat_idx, [flat_ct[:, i] for i in range(f)])
-    sidx = out[0]
-    sct = jnp.stack(out[1:], axis=1)
-    csum = jnp.cumsum(sct.astype(jnp.float32), axis=0)
-    csum = jnp.concatenate([jnp.zeros((1, f), jnp.float32), csum], axis=0)
-    # segment [lo_i, hi_i) of rows belonging to gaussian i
+    # (f32-cast key, iota) argsort — exact for indices < 2^24.  All gathers
+    # below are COLUMN-WISE 1-D: multi-column row gathers of computed data
+    # trigger the backend's dense (M, M) lowering (see module comment).
+    order = _argsort_f32(flat_idx)
+    sidx = flat_idx[order]
+    # segment [lo_i, hi_i) of rows belonging to gaussian i; with queries
+    # arange(n), hi(i) == lo(i+1) — one searchsorted, one boundary array
     lo = jnp.searchsorted(sidx, jnp.arange(n), side="left")
-    hi = jnp.searchsorted(sidx, jnp.arange(n), side="right")
-    grad = (csum[hi] - csum[lo]).astype(ct.dtype)
+    m = flat_idx.shape[0]
+    hi = jnp.concatenate([lo[1:], jnp.full((1,), m, lo.dtype)])
+    # one 2-D cumsum over chunk-gathered cotangents (9 separate 1-D
+    # cumsums cost ~390 s of TPU compile; one (M, F) cumsum is cheap)
+    sct = _chunked_row_gather(flat_ct, order)
+    csum = jnp.concatenate(
+        [jnp.zeros((1, f), jnp.float32), jnp.cumsum(
+            sct.astype(jnp.float32), axis=0)], axis=0)
+    cols = [csum[:, i][hi] - csum[:, i][lo] for i in range(f)]
+    grad = jnp.stack(cols, axis=1).astype(ct.dtype)
     return grad, None
 
 
@@ -286,14 +299,12 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
         means2d = means2d + mean2d_offset
     n = means2d.shape[0]
 
-    # depth order once; from here on index order == blend order
-    packed, _order = _depth_permute(
-        depth,
-        jnp.concatenate([means2d, cov2d, rgb, opacity[:, None]], axis=-1),
-    )
-    means2d, cov2d, rgb, opacity = (
-        packed[:, 0:2], packed[:, 2:5], packed[:, 5:8], packed[:, 8]
-    )
+    # depth order WITHOUT permuting gaussian rows (TPU sort constraints, see
+    # _argsort_f32): rank[g] = depth rank; the tile keys embed it so each
+    # tile's slot list comes out in blend order while all per-gaussian
+    # arrays stay in original index order.
+    perm = _argsort_f32(depth)          # blend position -> gaussian index
+    rank = _inverse_permutation(perm)   # gaussian index -> blend position
 
     det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2
     det = jnp.maximum(det, 1e-8)
@@ -332,10 +343,9 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
         & on_screen[:, None, None]
     )
     tile_id = gy * tx_n + gx
-    rank = jnp.arange(n, dtype=jnp.int32)[:, None, None]
     key = jnp.where(
         slot_valid,
-        tile_id * n + rank,
+        tile_id * n + rank[:, None, None],
         jnp.int32(n_tiles * n),
     ).reshape(-1)
     skey = jax.lax.sort(key)
@@ -346,10 +356,11 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
     ends = jnp.searchsorted(skey, bounds[1:], side="left")
     slots = starts[:, None] + jnp.arange(tile_cap)[None, :]      # (T, C)
     slot_ok = slots < ends[:, None]
-    gidx = (
+    grank = (
         jnp.take(skey, jnp.clip(slots, 0, skey.shape[0] - 1)) % n
     ).astype(jnp.int32)
-    gidx = jnp.where(slot_ok, gidx, 0)
+    # blend-order rank -> original gaussian index
+    gidx = jnp.where(slot_ok, jnp.take(perm, grank), 0)
 
     # gather per-tile gaussian rows (custom-VJP gather: scatter-free bwd)
     feat = jnp.concatenate(
