@@ -124,6 +124,12 @@ _SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
 
 def eval_sh(sh_coeffs, dirs, degree: int = 3):
     """sh_coeffs (N, K, 3), dirs (N, 3) unit -> rgb (N,3) pre-clamp."""
+    # a (N, K) input silently broadcasts (N,1)*(N,) -> (N,N): a 40 GB
+    # intermediate at 100k splats that surfaces as a compile-time OOM far
+    # from here — fail loudly instead
+    assert sh_coeffs.ndim == 3 and sh_coeffs.shape[-1] == 3, (
+        f"sh_coeffs must be (N, K, 3), got {sh_coeffs.shape}"
+    )
     result = SH_C0 * sh_coeffs[:, 0]
     if degree >= 1:
         x, y, z = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]

@@ -162,13 +162,13 @@ def rasterize(params, viewmat, cam: Camera, bg_color=1.0, scaling_modifier=1.0,
                             0.99)
         alpha = jnp.where(alpha < 1.0 / 255.0, 0.0, alpha)  # skip tiny (forward.cu:316)
         one_minus = 1.0 - alpha
-        # exclusive within-chunk transmittance
+        # exclusive within-chunk transmittance (cum/one_minus: see tiled path)
         cum = jnp.cumprod(one_minus, axis=-1)
-        cum_excl = jnp.concatenate(
-            [jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1
+        w = alpha * (cum / one_minus) * trans[..., None]
+        color_acc = color_acc + jnp.stack(
+            [jnp.sum(w * col[None, None, :, e], axis=-1) for e in range(3)],
+            axis=-1,
         )
-        w = alpha * cum_excl * trans[..., None]
-        color_acc = color_acc + jnp.einsum("hwc,ce->hwe", w, col)
         trans = trans * cum[..., -1]
         return (color_acc, trans), None
 
@@ -207,13 +207,12 @@ def _argsort_f32(key):
 
 
 def _inverse_permutation(perm):
-    """rank[perm[i]] = i via a 1D int scatter-set (O(N) serial scatter is
-    ~1.4 ms at 100k — cheap next to the pipeline's sorts)."""
-    n = perm.shape[0]
-    return jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True,
-        indices_are_sorted=False, mode="promise_in_bounds",
-    )
+    """rank[perm[i]] = i, computed as argsort(perm).
+
+    NOT a scatter-set: TPU scatters serialize at ~1.25 us/update (measured
+    137 ms at 100k — docs/DESIGN.md), while a (f32-cast, iota) sort is
+    ~1 ms.  Exact for perm values < 2^24."""
+    return _argsort_f32(perm)
 
 
 def _chunked_row_gather(data, idx, width: int = 3):
@@ -252,22 +251,27 @@ def _tile_gather_bwd(res, ct):
     # (f32-cast key, iota) argsort — exact for indices < 2^24.  All gathers
     # below are COLUMN-WISE 1-D: multi-column row gathers of computed data
     # trigger the backend's dense (M, M) lowering (see module comment).
-    order = _argsort_f32(flat_idx)
-    sidx = flat_idx[order]
-    # segment [lo_i, hi_i) of rows belonging to gaussian i; with queries
-    # arange(n), hi(i) == lo(i+1) — one searchsorted, one boundary array
-    lo = jnp.searchsorted(sidx, jnp.arange(n), side="left")
-    m = flat_idx.shape[0]
-    hi = jnp.concatenate([lo[1:], jnp.full((1,), m, lo.dtype)])
-    # one 2-D cumsum over chunk-gathered cotangents (9 separate 1-D
-    # cumsums cost ~390 s of TPU compile; one (M, F) cumsum is cheap)
-    sct = _chunked_row_gather(flat_ct, order)
+    # segment [lo_i, hi_i) of rows belonging to gaussian i, via histogram +
+    # exclusive cumsum: a searchsorted binary search here runs ~21 serial
+    # gather rounds over the sorted index list (~137 ms/step measured);
+    # the one bincount scatter-add is ~18 ms
+    counts = jnp.zeros((n,), jnp.int32).at[flat_idx].add(
+        1, mode="promise_in_bounds")
+    hi = jnp.cumsum(counts)
+    lo = hi - counts
+    # sort each cotangent column by gaussian index with STABLE 2-op
+    # (f32-key, payload) sorts — ~2.5 ms each vs ~21 ms per chunked row
+    # gather of the same data at 1.28M rows
+    key = flat_idx.astype(jnp.float32)
+    sct = jnp.stack(
+        [jax.lax.sort((key, flat_ct[:, i]), num_keys=1)[1] for i in range(f)],
+        axis=1,
+    )
     csum = jnp.concatenate(
         [jnp.zeros((1, f), jnp.float32), jnp.cumsum(
             sct.astype(jnp.float32), axis=0)], axis=0)
-    cols = [csum[:, i][hi] - csum[:, i][lo] for i in range(f)]
-    grad = jnp.stack(cols, axis=1).astype(ct.dtype)
-    return grad, None
+    boundary = _chunked_row_gather(csum, hi) - _chunked_row_gather(csum, lo)
+    return boundary.astype(ct.dtype), None
 
 
 _tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
@@ -275,12 +279,13 @@ _tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "tile", "tile_cap", "max_tiles_side", "chunk"),
+    static_argnames=("cam", "tile", "tile_cap", "max_tiles_side", "chunk",
+                     "use_pallas_blend"),
 )
 def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
                     scaling_modifier=1.0, tile: int = 16, tile_cap: int = 512,
                     max_tiles_side: int = 6, chunk: int = 128,
-                    mean2d_offset=None):
+                    mean2d_offset=None, use_pallas_blend: bool | None = None):
     """Tile-culled differentiable rasterization (the reference's tile
     pipeline, rasterizer_impl.cu:70-116, as dense XLA).
 
@@ -289,6 +294,8 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
     """
     assert cam.height % tile == 0 and cam.width % tile == 0
     assert tile_cap % chunk == 0, "tile_cap must be a multiple of chunk"
+    if use_pallas_blend is None:
+        use_pallas_blend = tile == 16
     ty_n, tx_n = cam.height // tile, cam.width // tile
     n_tiles = ty_n * tx_n
 
@@ -333,19 +340,20 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
     # (n_tiles + 1) * N < 2^31 — ample for 800^2/16 tiles at 10^6 splats.
     assert (n_tiles + 1) * n < 2**31, "tile keys overflow int32"
     ks = max_tiles_side
+    # candidate-major (ks^2, N) layout: N rides the lane axis at full
+    # occupancy ((N, ks, ks) puts the size-ks dims on the register tile)
     di = jnp.arange(ks, dtype=jnp.int32)
-    gx = tx0c[:, None, None] + di[None, :, None]          # (N, ks, 1)
-    gy = ty0c[:, None, None] + di[None, None, :]          # (N, 1, ks) -> bc
-    gx = jnp.broadcast_to(gx, (n, ks, ks))
-    gy = jnp.broadcast_to(gy, (n, ks, ks))
+    dxx = jnp.repeat(di, ks)[:, None]                     # (ks^2, 1)
+    dyy = jnp.tile(di, ks)[:, None]
+    gx = tx0c[None, :] + dxx                              # (ks^2, N)
+    gy = ty0c[None, :] + dyy
     slot_valid = (
-        (gx <= tx1c[:, None, None]) & (gy <= ty1c[:, None, None])
-        & on_screen[:, None, None]
+        (gx <= tx1c[None, :]) & (gy <= ty1c[None, :]) & on_screen[None, :]
     )
     tile_id = gy * tx_n + gx
     key = jnp.where(
         slot_valid,
-        tile_id * n + rank[:, None, None],
+        tile_id * n + rank[None, :],
         jnp.int32(n_tiles * n),
     ).reshape(-1)
     skey = jax.lax.sort(key)
@@ -368,6 +376,33 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
     )  # (N, 9)
     g = _tile_gather(feat, gidx)                                  # (T, C, 9)
     g = jnp.where(slot_ok[..., None], g, 0.0)
+
+    if use_pallas_blend:
+        # fused per-tile blend kernel (ops/gs_blend.py): ~30x over the XLA
+        # scan at 800^2/100k (everything in VMEM, triangular-matmul
+        # transmittance on the MXU)
+        from pixie_tpu.ops.gs_blend import ROWS_IN, ROWS_OUT, blend_tiles  # noqa: PLC0415
+
+        g16 = jnp.moveaxis(g, -1, 1)                     # (T, 9, C)
+        g16 = jnp.pad(g16, ((0, 0), (0, ROWS_IN - g16.shape[1]), (0, 0)))
+        interp = jax.default_backend() != "tpu"
+        # the kernel stores nc-1 transmittance carries in the output's spare
+        # rows; grow the chunk so nc fits
+        kchunk = chunk
+        while tile_cap // kchunk - 1 > ROWS_OUT - 4:
+            kchunk *= 2
+        out = blend_tiles(g16, tx_n, kchunk, interp)     # (T, 8, 256)
+        color = jnp.moveaxis(out[:, :3, :], 1, -1).reshape(
+            n_tiles, tile, tile, 3)
+        trans = out[:, 3, :].reshape(n_tiles, tile, tile)
+        color = color + bg_color * trans[..., None]
+        img = color.reshape(ty_n, tx_n, tile, tile, 3).swapaxes(1, 2).reshape(
+            cam.height, cam.width, 3)
+        alpha_img = (1.0 - trans).reshape(
+            ty_n, tx_n, tile, tile).swapaxes(1, 2).reshape(
+            cam.height, cam.width)
+        return img, alpha_img
+
     gm, gc, gcol, gop = g[..., 0:2], g[..., 2:5], g[..., 5:8], g[..., 8]
 
     # per-tile pixel coordinates
@@ -396,11 +431,16 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
         alpha = jnp.where(alpha < 1.0 / 255.0, 0.0, alpha)
         one_minus = 1.0 - alpha
         cum = jnp.cumprod(one_minus, axis=-1)
-        cum_excl = jnp.concatenate(
-            [jnp.ones_like(cum[..., :1]), cum[..., :-1]], axis=-1
+        # exclusive cumprod as cum/one_minus (alpha <= 0.99 keeps the
+        # divisor >= 0.01): a minor-axis concat-pad here costs ~12 ms/pass
+        # on TPU (lane shift of a 327 MB tensor)
+        w = alpha * (cum / one_minus) * trans[..., None]
+        # per-channel VPU contraction — an einsum "tijc,tce->tije" lowers
+        # as batched matmul with N=3, padding the lane axis 3->128
+        color_acc = color_acc + jnp.stack(
+            [jnp.sum(w * col[:, None, None, :, e], axis=-1) for e in range(3)],
+            axis=-1,
         )
-        w = alpha * cum_excl * trans[..., None]
-        color_acc = color_acc + jnp.einsum("tijc,tce->tije", w, col)
         trans = trans * cum[..., -1]
         return (color_acc, trans), None
 

@@ -27,8 +27,9 @@ from pixie_tpu.recon.train_gaussians import ssim
 def make_params(n, rng):
     return {
         "xyz": jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32)),
-        "f_dc": jnp.asarray(rng.normal(0, 0.3, (n, 3)).astype(np.float32)),
-        "f_rest": jnp.zeros((n, 45), jnp.float32),
+        # SH layout is (N, K, 3): dc (N,1,3) + rest (N,15,3)
+        "f_dc": jnp.asarray(rng.normal(0, 0.3, (n, 1, 3)).astype(np.float32)),
+        "f_rest": jnp.zeros((n, 15, 3), jnp.float32),
         "opacity": jnp.asarray(rng.normal(-2, 0.5, (n, 1)).astype(np.float32)),
         "scaling": jnp.asarray(rng.normal(-5, 0.5, (n, 3)).astype(np.float32)),
         "rotation": jnp.asarray(
