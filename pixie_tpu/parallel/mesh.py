@@ -79,6 +79,17 @@ def initialize_distributed(coordinator_address: str | None = None,
                   "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
     )
     if explicit or env_driven:
+        from jax._src import xla_bridge  # noqa: PLC0415
+
+        if xla_bridge.backends_are_initialized():
+            # too late to join a pod in this process (jax.distributed must
+            # run before first backend touch); single-host fallback.
+            # Common cause: stray TPU_* env vars on a single-chip host.
+            import logging  # noqa: PLC0415
+
+            logging.debug("initialize_distributed: backend already up; "
+                          "continuing single-host")
+            return 1
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id,
