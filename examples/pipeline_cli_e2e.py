@@ -112,6 +112,29 @@ def main():
     ])
     logging.info("[cli] pipeline.main completed in %.1fs", time.time() - t0)
 
+    # ---- second golden path: material_mode=vlm (MockVLM + hash encoder) ---
+    t0 = time.time()
+    pipeline.main([
+        f"obj_id={obj}",
+        "material_mode=vlm",
+        "obj_class=toy",
+        "+vlm_model=mock",
+        "segmentation.allow_hash_text_encoder=true",
+        f"paths.base_path={base}",
+        f"paths.physgaussian_config_dir={base}/config",
+        "is_objaverse_object=false",
+        f"training_3d.nerf_max_num_iterations={args.field_iters}",
+        f"training_3d.clip_features_path={feat_npy}",
+        f"training_3d.gs_iterations={args.gs_iters}",
+        f"voxelization.grid_size={grid}",
+        f"training.default_grid_size={grid}",
+        "physics.n_frames=2",
+        "physics.compile_video=false",
+    ])
+    logging.info("[cli] vlm-mode pipeline completed in %.1fs", time.time() - t0)
+    vlm_sim = base / "mpm_sim_outputs" / "vlm" / obj / "sample_0"
+    assert (vlm_sim / "sim_info.json").exists(), "vlm-mode sim missing"
+
     # ---- assert the golden-path artifacts ---------------------------------
     render_out = base / "render_outputs" / obj
     assert (render_out / "clip_features_features.npy").exists()

@@ -33,8 +33,28 @@ class VLMBackend:
         raise NotImplementedError
 
 
+# superset of every stage's required keys, so a bare MockVLM satisfies the
+# whole labeling chain offline (stage schemas: stages.py parse_response)
+MOCK_DEFAULT_RESPONSE = {
+    "material_dict": {
+        "body": {"density": [300, 800], "E": [1e5, 1e6], "nu": [0.3, 0.4],
+                 "material_id": 0},
+    },
+    "all_queries": [["object"], ["body"]],
+    "constraints": "",
+    "best_query": 0,
+    "reasoning": "mock",
+    "scores": [1.0],
+    "is_appropriate": True,
+    "best_sample": 0,
+}
+
+
 class MockVLM(VLMBackend):
-    """Deterministic canned-response backend for tests/offline runs."""
+    """Deterministic canned-response backend for tests/offline runs.
+
+    Without injected responses it replies with a schema-valid superset
+    JSON (MOCK_DEFAULT_RESPONSE) so every chain stage parses."""
 
     def __init__(self, responses=None):
         self.responses = list(responses or [])
@@ -44,7 +64,9 @@ class MockVLM(VLMBackend):
         self.calls.append((prompt_parts, system_instruction))
         if self.responses:
             return self.responses.pop(0)
-        return "{}"
+        import json  # noqa: PLC0415
+
+        return json.dumps(MOCK_DEFAULT_RESPONSE)
 
 
 def setup_vlm_model(model_name: str, api_key: str | None = None) -> VLMBackend:

@@ -111,6 +111,53 @@ def viz_seg_candidates(
     return out
 
 
+def _resolve_text_encoder(cfg):
+    """CLIP text encoder when weights are available; optionally a
+    deterministic hash-embedding fallback (plumbing-only — similarity maps
+    are meaningless) when ``segmentation.allow_hash_text_encoder`` is set,
+    e.g. for offline golden-path runs.  None otherwise (stage 5 then
+    requires precomputed query embeddings)."""
+    feat_dim = int(cfg.training.get("feature_channels", 768))
+
+    def clip_encoder(queries):
+        from pixie_tpu.recon.clip_features import encode_text_queries  # noqa: PLC0415
+
+        return encode_text_queries(list(queries))
+
+    try:  # probe CLIP availability once, offline (hub retries take minutes;
+        # cached weights load fine — pre-fetch weights explicitly if needed)
+        import os  # noqa: PLC0415
+
+        prev = os.environ.get("HF_HUB_OFFLINE")
+        os.environ["HF_HUB_OFFLINE"] = "1"
+        try:
+            clip_encoder(["probe"])
+        finally:
+            if prev is None:
+                os.environ.pop("HF_HUB_OFFLINE", None)
+            else:
+                os.environ["HF_HUB_OFFLINE"] = prev
+        return clip_encoder
+    except Exception as e:  # noqa: BLE001
+        if not cfg.segmentation.get("allow_hash_text_encoder", False):
+            logging.warning("CLIP text encoder unavailable (%s)", e)
+            return None
+        logging.warning(
+            "CLIP text encoder unavailable (%s); USING HASH EMBEDDINGS — "
+            "segmentation similarities are placeholders", e)
+
+        def hash_encoder(queries):
+            embs = []
+            for q in queries:
+                rng = np.random.default_rng(
+                    abs(hash(str(q))) % (2**32))
+                v = rng.normal(size=(feat_dim,)).astype(np.float32)
+                embs.append(v / np.linalg.norm(v))
+            return np.stack(embs)
+
+        return hash_encoder
+
+
 def run_vlm_labeling_chain(
     cfg,
     paths: dict,
@@ -127,6 +174,9 @@ def run_vlm_labeling_chain(
     obj_id = cfg.obj_id
     model_name = cfg.get("vlm_model", "gemini-2.0-flash")
     base_dir = Path(paths["vlm_base_dir"])
+
+    if text_encoder is None and query_embs is None:
+        text_encoder = _resolve_text_encoder(cfg)
 
     # stage 1: propose parts / ranges / constraints / query candidates
     views = load_training_views(paths["data_dir"])
