@@ -133,11 +133,14 @@ def main():
     args = ap.parse_args()
 
     if args.quick:
+        mpm_particles = 2000
         unet_rate = bench_unet(batch=1, iters=2, grid=16, feat_ch=64)
-        mpm_rate = None if args.skip_mpm else bench_mpm(2000, 20, 2, fast=False)
+        mpm_rate = None if args.skip_mpm else bench_mpm(mpm_particles, 20, 2,
+                                                        fast=False)
     else:
+        mpm_particles = args.particles
         unet_rate = bench_unet(batch=args.batch, iters=10)
-        mpm_rate = None if args.skip_mpm else bench_mpm(args.particles, 100, 5)
+        mpm_rate = None if args.skip_mpm else bench_mpm(mpm_particles, 100, 5)
 
     if mpm_rate is not None:
         log(f"aux: mpm_substeps_per_s={mpm_rate:.1f}")
@@ -154,7 +157,7 @@ def main():
     }
     if mpm_rate is not None:
         out["aux_mpm_substeps_per_sec"] = round(float(mpm_rate), 1)
-        out["aux_mpm_particles"] = args.particles
+        out["aux_mpm_particles"] = mpm_particles
     print(json.dumps(out))
 
 

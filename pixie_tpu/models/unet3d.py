@@ -389,7 +389,12 @@ class AttentionBlock(nn.Module):
         if heads > 1:
             # channel-last head split: qkv channels are [head0: q k v,
             # head1: q k v, ...]; a flat reshape (valid in the reference's
-            # channel-first layout) would mix spatial and channel dims here
+            # channel-first layout) would mix spatial and channel dims here.
+            # Layout parity note: the torch reference's legacy QKVAttention
+            # (diffusion_network.py:217 `qkv.reshape(b*num_heads, -1, t)`)
+            # ALSO reinterprets the conv's [q(c) k(c) v(c)] output columns
+            # head-major, so torch-converted checkpoints keep identical
+            # semantics at any num_heads — not just the tested num_heads=1.
             qkv = qkv.reshape(n, t, heads, 3 * (c // heads))
             qkv = qkv.transpose(0, 2, 1, 3).reshape(n * heads, t, 3 * (c // heads))
         q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -110,11 +110,14 @@ class CLIPVisionTower(nn.Module):
         pos_cls, pos_grid = pos[:1], pos[1:]
         side = c.image_size // p
         if (hp, wp) != (side, side):
-            # bilinear interpolation of the grid part (HF
-            # interpolate_pos_encoding, modeling_clip.py)
+            # bicubic interpolation of the grid part, matching HF
+            # interpolate_pos_encoding (modeling_clip.py uses
+            # F.interpolate(mode="bicubic")); jax.image "cubic" is Keys
+            # bicubic without torch's antialias prefilter — residual
+            # difference is bounded by tests/test_clip_jax.py.
             grid = pos_grid.reshape(side, side, c.hidden_size)
             pos_grid = jax.image.resize(
-                grid, (hp, wp, c.hidden_size), method="bilinear"
+                grid, (hp, wp, c.hidden_size), method="cubic"
             ).reshape(hp * wp, c.hidden_size)
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, c.hidden_size)), x],

@@ -64,6 +64,13 @@ def project_gaussians(params, viewmat, cam: Camera, scaling_modifier=1.0):
 
     EWA splatting as in preprocessCUDA (forward.cu:74-155): cov2D =
     J W Sigma W^T J^T with a +0.3 pixel blur on the diagonal.
+
+    Precomputed inputs (the reference rasterizer's cov3D_precomp /
+    colors_precomp / opacities contract, gaussian_renderer/__init__.py and
+    gs_simulation.py:612-620) are honored when present in ``params``:
+      ``cov3d_precomp``   (N,3,3) world covariance (skips scale+quat)
+      ``colors_precomp``  (N,3)   view-ready RGB (skips SH eval)
+      ``opacity_precomp`` (N,) or (N,1) activated opacity (skips sigmoid)
     """
     xyz = params["xyz"]
     n = xyz.shape[0]
@@ -77,7 +84,10 @@ def project_gaussians(params, viewmat, cam: Camera, scaling_modifier=1.0):
         [cam.fx * x / z + cam.cx, cam.fy * y / z + cam.cy], axis=-1
     )
 
-    cov3d = G.get_covariance(params, scaling_modifier)
+    if "cov3d_precomp" in params:
+        cov3d = params["cov3d_precomp"] * (scaling_modifier ** 2)
+    else:
+        cov3d = G.get_covariance(params, scaling_modifier)
     cov_cam = jnp.einsum("ij,njk,lk->nil", r, cov3d, r)
     # Jacobian of perspective projection (forward.cu:91-103)
     j00 = cam.fx / z
@@ -94,14 +104,21 @@ def project_gaussians(params, viewmat, cam: Camera, scaling_modifier=1.0):
     c11 = c11 + 0.3
 
     # view-dir SH color (forward.cu computeColorFromSH)
-    cam_pos = -r.T @ t
-    dirs = xyz - cam_pos
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-    shs = G.get_shs(params)
-    degree = {1: 0, 4: 1, 9: 2, 16: 3}.get(shs.shape[1], 3)
-    rgb = jnp.clip(G.eval_sh(shs, dirs, degree), 0.0, None)
+    if "colors_precomp" in params:
+        rgb = params["colors_precomp"]
+    else:
+        cam_pos = -r.T @ t
+        dirs = xyz - cam_pos
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        shs = G.get_shs(params)
+        degree = {1: 0, 4: 1, 9: 2, 16: 3}.get(shs.shape[1], 3)
+        rgb = jnp.clip(G.eval_sh(shs, dirs, degree), 0.0, None)
 
-    opacity = G.get_opacity(params)[:, 0]
+    if "opacity_precomp" in params:
+        opacity = params["opacity_precomp"].reshape(-1)
+    else:
+        opacity = G.get_opacity(params)[:, 0]
     # cull behind-camera gaussians
     valid = depth > 0.01
     opacity = jnp.where(valid, opacity, 0.0)
@@ -391,6 +408,13 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
         kchunk = chunk
         while tile_cap // kchunk - 1 > ROWS_OUT - 4:
             kchunk *= 2
+        # gs_blend derives nc = tile_cap // kchunk; a non-dividing kchunk
+        # would silently drop the trailing splat columns in fwd AND bwd
+        if tile_cap % kchunk:
+            raise ValueError(
+                f"tile_cap={tile_cap} is not divisible by the carry-grown "
+                f"chunk {kchunk} (from chunk={chunk}); pick tile_cap as a "
+                f"multiple of a power-of-two chunk (e.g. 512/128, 1024/256)")
         out = blend_tiles(g16, tx_n, kchunk, interp)     # (T, 8, 256)
         color = jnp.moveaxis(out[:, :3, :], 1, -1).reshape(
             n_tiles, tile, tile, 3)

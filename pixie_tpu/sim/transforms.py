@@ -94,3 +94,11 @@ def apply_cov_rotations(upper_cov: np.ndarray, rotation_matrices) -> np.ndarray:
     for r in rotation_matrices:
         cov = r @ cov @ r.T
     return get_upper_from_mat(cov)
+
+
+def apply_inverse_cov_rotations(upper_cov: np.ndarray, rotation_matrices) -> np.ndarray:
+    """Undo apply_cov_rotations (transformation_utils.py:125-130)."""
+    cov = get_mat_from_upper(upper_cov)
+    for r in reversed(rotation_matrices):
+        cov = r.T @ cov @ r
+    return get_upper_from_mat(cov)

@@ -147,10 +147,14 @@ def _resolve_text_encoder(cfg):
             "segmentation similarities are placeholders", e)
 
         def hash_encoder(queries):
+            import hashlib  # noqa: PLC0415
+
             embs = []
             for q in queries:
-                rng = np.random.default_rng(
-                    abs(hash(str(q))) % (2**32))
+                # stable digest: Python's hash() is salted per process
+                # (PYTHONHASHSEED), which would break run-to-run determinism
+                rng = np.random.default_rng(int.from_bytes(
+                    hashlib.sha256(str(q).encode()).digest()[:4], "little"))
                 v = rng.normal(size=(feat_dim,)).astype(np.float32)
                 embs.append(v / np.linalg.norm(v))
             return np.stack(embs)
