@@ -282,6 +282,17 @@ def run_physics_simulation(cfg, paths, material_ply):
         )
     if not sim_cfg.exists():
         raise FileNotFoundError(f"physics config not found: {sim_cfg}")
+    # simulate the GS checkpoint's gaussians when one exists so frames render
+    # through the splat rasterizer (reference always passes --model_path,
+    # pipeline.py:213-224); fall back to PLY-vertex particles otherwise
+    gs_ckpt = Path(paths["gs_output"])
+    has_gs = (gs_ckpt / "point_cloud").is_dir()
+    render_img = bool(cfg.physics.get("render_img", True)) and has_gs
+    # should_use_white_bg (pixie/utils.py:378-382)
+    white_bg = bool(cfg.physics.white_bg)
+    if (cfg.material_mode == "neural"
+            and cfg.obj_class in list(cfg.physics.get("no_white_bg_classes", []))):
+        white_bg = False
     run_simulation(
         point_cloud_path=material_ply,
         config_path=sim_cfg,
@@ -289,6 +300,10 @@ def run_physics_simulation(cfg, paths, material_ply):
         n_frames=cfg.physics.get("n_frames"),
         save_ply=cfg.physics.save_ply,
         debug=cfg.physics.debug,
+        gaussian_checkpoint=gs_ckpt if has_gs else None,
+        render_img=render_img,
+        compile_video=bool(cfg.physics.get("compile_video", True)),
+        white_bg=white_bg,
     )
 
 

@@ -38,6 +38,9 @@ def run_simulation(
     debug: bool = False,
     use_fast_solver: bool = True,
     gaussian_checkpoint: str | Path | None = None,
+    render_img: bool = False,
+    compile_video: bool = False,
+    white_bg: bool = False,
 ) -> dict:
     """End-to-end rollout; returns timing/diagnostic info.
 
@@ -47,6 +50,11 @@ def run_simulation(
     the material PLY maps onto them via kNN smoothing — the reference's full
     neural-simulation flow.  Without it, the material PLY's vertices ARE the
     particles (point-cloud mode, gs_simulation.py:108).
+
+    ``render_img`` (requires ``gaussian_checkpoint``) rasterizes every frame
+    through the tile splat rasterizer with F-transported covariances and SH
+    colors — the reference's flagship video output (gs_simulation.py:573-631)
+    — writing ``frames/%05d.png`` and gaussian-format ``ply_files`` frames.
     """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -55,50 +63,59 @@ def run_simulation(
 
     params = load_material_ply(point_cloud_path)
 
-    if gaussian_checkpoint is not None:
-        pos, extra = load_gaussian_particles(
-            gaussian_checkpoint,
-            opacity_threshold=preprocessing_params["opacity_threshold"],
-            filling=preprocessing_params.get("particle_filling"),
-            n_grid=material_params["n_grid"],
-        )
-    else:
-        pos = params["pos"].astype(np.float32)
-        extra = {}
-    n0 = len(pos)
-    logging.info("Loaded %d particles from %s", n0,
-                 gaussian_checkpoint or point_cloud_path)
-
-    # optional rotations (gs_simulation.py:413-420)
+    z_shift = preprocessing_params.get("z_shift_value", 0.0)
     rotation_matrices = tf.generate_rotation_matrices(
         preprocessing_params.get("rotation_degree", []) or [],
         preprocessing_params.get("rotation_axis", []) or [],
     )
-    pos = tf.apply_rotations(pos, rotation_matrices)
-
-    # sim-area crop (gs_simulation.py:423-434)
     sim_area = preprocessing_params.get("sim_area")
-    keep = np.ones(len(pos), bool)
-    if sim_area is not None:
-        bounds = np.asarray(sim_area, np.float32).reshape(3, 2)
-        keep = np.all((pos >= bounds[:, 0]) & (pos <= bounds[:, 1]), axis=1)
-        pos = pos[keep]
-        logging.info("sim_area crop: %d -> %d particles", n0, len(pos))
 
-    # normalize into the MPM cube (gs_simulation.py:436-437)
-    pos_norm, scale_origin, original_mean_pos = tf.transform2origin(pos)
-    z_shift = preprocessing_params.get("z_shift_value", 0.0)
-    pos_mpm = tf.shift2center111(pos_norm, z_shift)
+    gs_payload = None   # render-path data (shs/opacity/unselected/init_cov)
+    init_cov_mpm = None
+    if gaussian_checkpoint is not None:
+        (pos, init_cov_mpm, gs_payload, scale_origin, original_mean_pos,
+         pos_mpm, keep, n0) = _prepare_gaussian_particles(
+            gaussian_checkpoint, preprocessing_params, material_params,
+            rotation_matrices,
+        )
+    else:
+        pos = params["pos"].astype(np.float32)
+        n0 = len(pos)
+        pos = tf.apply_rotations(pos, rotation_matrices)
+        # sim-area crop (gs_simulation.py:423-434)
+        keep = np.ones(len(pos), bool)
+        if sim_area is not None:
+            bounds = np.asarray(sim_area, np.float32).reshape(3, 2)
+            keep = np.all((pos >= bounds[:, 0]) & (pos <= bounds[:, 1]),
+                          axis=1)
+            pos = pos[keep]
+            logging.info("sim_area crop: %d -> %d particles", n0, len(pos))
+        # normalize into the MPM cube (gs_simulation.py:436-437)
+        pos_norm, scale_origin, original_mean_pos = tf.transform2origin(pos)
+        pos_mpm = tf.shift2center111(pos_norm, z_shift)
+    logging.info("Loaded %d particles from %s", len(pos_mpm),
+                 gaussian_checkpoint or point_cloud_path)
 
     n = len(pos_mpm)
-    if particle_volume is None:
-        # uniform volume estimate from the normalized unit cube
-        particle_volume = 1.0 / max(n, 1)
-    vols = np.full(n, particle_volume, np.float32)
+    if gaussian_checkpoint is not None and particle_volume is None:
+        # per-cell volume split (get_particle_volume, filling.py:273-289;
+        # uniform for sand as in gs_simulation.py:466-470)
+        from pixie_tpu.sim.filling import get_particle_volume  # noqa: PLC0415
+
+        vols = get_particle_volume(
+            pos_mpm, material_params["n_grid"],
+            material_params["grid_lim"] / material_params["n_grid"],
+            uniform=material_params.get("material") == "sand",
+        )
+    else:
+        if particle_volume is None:
+            # uniform volume estimate from the normalized unit cube
+            particle_volume = 1.0 / max(n, 1)
+        vols = np.full(n, particle_volume, np.float32)
 
     solver = MPMSolver()
     solver.load_initial_data(
-        pos_mpm, vols,
+        pos_mpm, vols, cov=init_cov_mpm,
         n_grid=material_params["n_grid"], grid_lim=material_params["grid_lim"],
     )
     g = material_params["g"]
@@ -158,14 +175,41 @@ def run_simulation(
     if save_ply:
         ply_dir.mkdir(exist_ok=True)
 
-    frame_times = []
-    for frame in range(frame_num):
-        t0 = time.time()
-        stepper.step_frame(steps_per_frame, substep_dt)
-        x_mpm = np.asarray(stepper.state.x)
-        frame_times.append(time.time() - t0)
+    renderer = None
+    frames_dir = output_dir / "frames"
+    if render_img:
+        if gs_payload is None:
+            raise ValueError("render_img requires gaussian_checkpoint")
+        from pixie_tpu.sim.render_sim import SimRenderer  # noqa: PLC0415
 
-        if save_ply:
+        renderer = SimRenderer.from_camera_params(
+            camera_params, gaussian_checkpoint, frame_num,
+            shs=gs_payload["shs"], opacity_act=gs_payload["opacity"],
+            scale_origin=scale_origin, original_mean_pos=original_mean_pos,
+            rotation_matrices=rotation_matrices, z_shift=z_shift,
+            unselected=gs_payload.get("unselected"), white_bg=white_bg,
+        )
+        frames_dir.mkdir(exist_ok=True)
+        gs_num = gs_payload["gs_num"]
+
+    frame_times, render_times = [], []
+    for frame in range(frame_num):
+        # render/export the CURRENT state, then step — the reference's frame
+        # loop order (gs_simulation.py:573-637: rasterize, save, p2g2p)
+        x_mpm = np.asarray(stepper.state.x)
+        if renderer is not None:
+            from pixie_tpu.sim.render_sim import save_frame_png  # noqa: PLC0415
+
+            r0 = time.time()
+            cov6 = _export_cov(stepper)
+            img, (pos_w, cov_w) = renderer.render_frame(
+                frame, x_mpm[:gs_num], cov6[:gs_num])
+            save_frame_png(frames_dir / f"{frame:05d}.png", img)
+            render_times.append(time.time() - r0)
+            if save_ply:
+                renderer.export_gaussian_ply(
+                    ply_dir / f"frame_{frame:05d}.ply", pos_w, cov_w)
+        elif save_ply:
             # undo transforms back to world coordinates (gs_simulation.py:591-600)
             x_world = tf.apply_inverse_rotations(
                 tf.undotransform2origin(
@@ -183,11 +227,22 @@ def run_simulation(
                 conf=conf,
             )
             write_ply(ply_dir / f"frame_{frame:04d}.ply", v)
+
+        t0 = time.time()
+        stepper.step_frame(steps_per_frame, substep_dt)
+        np.asarray(stepper.state.x)  # sync so frame timing is honest
+        frame_times.append(time.time() - t0)
         if frame % 10 == 0:
             logging.info(
                 "frame %d/%d: %.1fms (%d substeps)",
                 frame, frame_num, frame_times[-1] * 1e3, steps_per_frame,
             )
+
+    if renderer is not None and compile_video and frame_num:
+        from pixie_tpu.utils.viz import compile_video as _compile  # noqa: PLC0415
+
+        _compile(frames_dir, frames_dir / "output.mp4",
+                 fps=max(int(round(1.0 / frame_dt)), 1))
 
     info = {
         "n_particles": n,
@@ -197,6 +252,9 @@ def run_simulation(
         "substeps_per_sec": (
             steps_per_frame / float(np.median(frame_times)) if frame_times else None
         ),
+        "median_render_ms": (
+            float(np.median(render_times)) * 1e3 if render_times else None
+        ),
         "active_materials": list(solver.cfg.active_materials),
         "solver": "pallas-tiled" if use_fast_solver else "xla-reference",
         "auto_bcs": auto_bcs,
@@ -205,17 +263,36 @@ def run_simulation(
     return info
 
 
-def load_gaussian_particles(gaussian_checkpoint, opacity_threshold: float = 0.02,
-                            filling: dict | None = None, n_grid: int = 50):
-    """3DGS checkpoint -> simulation particles.
+def _export_cov(stepper):
+    """Current per-particle covariances (export_particle_cov_to_torch,
+    mpm_solver_warp.py:715-741): transported from F unless the per-substep
+    cov update is enabled."""
+    st = stepper.state
+    if getattr(stepper.cfg, "update_cov_with_F", False):
+        return np.asarray(st.cov)
+    from pixie_tpu.sim.solver import compute_cov_from_F  # noqa: PLC0415
 
-    Opacity filter (gs_simulation.py:405), optional internal particle filling
-    (fill_particles, particle_filling/filling.py:291) with attribute
-    inheritance, covariances for rendering transport.
+    return np.asarray(compute_cov_from_F(st))
+
+
+def _prepare_gaussian_particles(gaussian_checkpoint, preprocessing_params,
+                                material_params, rotation_matrices):
+    """3DGS checkpoint -> simulation particles, reference order
+    (gs_simulation.py:402-482):
+
+      opacity filter -> rotations -> sim_area crop (crop-excluded gaussians
+      kept for static rendering) -> transform2origin + shift2center111 ->
+      MPM-frame covariances (apply_cov_rotations * scale_origin**2) ->
+      optional internal particle filling (filled particles get zero
+      covariance and are not rendered).
+
+    Returns (pos_rotated, init_cov_full, gs_payload, scale_origin,
+    original_mean_pos, pos_mpm, keep_mask, n0).
     """
     from pixie_tpu.recon.gaussians import (  # noqa: PLC0415
         covariance_upper,
         get_opacity,
+        get_shs,
         load_gaussian_ply,
     )
     from pixie_tpu.recon.train_gaussians import search_for_max_iteration  # noqa: PLC0415
@@ -227,25 +304,49 @@ def load_gaussian_particles(gaussian_checkpoint, opacity_threshold: float = 0.02
         path = pc_dir / f"iteration_{it}" / "point_cloud.ply"
     gs = load_gaussian_ply(path)
 
-    opacity = np.asarray(get_opacity(gs))[:, 0]
-    keep = opacity > opacity_threshold
-    pos = np.asarray(gs["xyz"])[keep].astype(np.float32)
-    cov = np.asarray(covariance_upper(gs))[keep]
-    opac = opacity[keep]
-    logging.info("opacity filter: %d -> %d gaussians", len(opacity), len(pos))
+    opacity = np.asarray(get_opacity(gs))          # activated (N,1)
+    keep = opacity[:, 0] > preprocessing_params["opacity_threshold"]
+    init_pos = np.asarray(gs["xyz"])[keep].astype(np.float32)
+    cov_w = np.asarray(covariance_upper(gs))[keep].astype(np.float32)
+    init_opacity = opacity[keep].astype(np.float32)
+    init_shs = np.asarray(get_shs(gs))[keep].astype(np.float32)
+    n0 = len(opacity)
+    logging.info("opacity filter: %d -> %d gaussians", n0, len(init_pos))
 
+    rotated_pos = tf.apply_rotations(init_pos, rotation_matrices)
+
+    # sim_area crop; excluded gaussians render statically in their original
+    # world pose (gs_simulation.py:421-436)
+    unselected = None
+    sim_area = preprocessing_params.get("sim_area")
+    if sim_area is not None:
+        bounds = np.asarray(sim_area, np.float32).reshape(3, 2)
+        m = np.all((rotated_pos >= bounds[:, 0]) & (rotated_pos <= bounds[:, 1]),
+                   axis=1)
+        unselected = {
+            "pos": init_pos[~m], "cov6": cov_w[~m],
+            "opacity": init_opacity[~m], "shs": init_shs[~m],
+        }
+        rotated_pos = rotated_pos[m]
+        cov_w, init_opacity, init_shs = cov_w[m], init_opacity[m], init_shs[m]
+        logging.info("sim_area crop: %d sim + %d static gaussians",
+                     len(rotated_pos), len(unselected["pos"]))
+
+    pos_norm, scale_origin, original_mean_pos = tf.transform2origin(rotated_pos)
+    z_shift = preprocessing_params.get("z_shift_value", 0.0)
+    pos_mpm = tf.shift2center111(pos_norm, z_shift)
+    init_cov_mpm = (tf.apply_cov_rotations(cov_w, rotation_matrices)
+                    * scale_origin ** 2).astype(np.float32)
+    gs_num = len(pos_mpm)
+
+    filling = preprocessing_params.get("particle_filling")
     if filling:
         from pixie_tpu.sim.filling import fill_particles  # noqa: PLC0415
 
-        # normalize to [0,1] box for the filling grids (gs_simulation flow
-        # fills after transform2origin; approximate with the bbox here)
-        lo = pos.min(axis=0)
-        span = max(float((pos.max(axis=0) - lo).max()), 1e-6)
-        pos01 = (pos - lo) / span
-        new01 = fill_particles(
-            pos01, opac, cov / span**2,
+        new_mpm = fill_particles(
+            pos_mpm, init_opacity[:, 0], init_cov_mpm,
             grid_n=filling["n_grid"], max_samples=filling["max_particles_num"],
-            grid_dx=1.0 / filling["n_grid"],
+            grid_dx=material_params["grid_lim"] / filling["n_grid"],
             density_thres=filling["density_threshold"],
             search_thres=filling["search_threshold"],
             max_particles_per_cell=filling["max_partciels_per_cell"],
@@ -253,7 +354,18 @@ def load_gaussian_particles(gaussian_checkpoint, opacity_threshold: float = 0.02
             ray_cast_dir=filling["ray_cast_direction"],
             boundary=filling["boundary"],
         )
-        if len(new01):
-            pos = np.concatenate([pos, (new01 * span + lo).astype(np.float32)])
-            logging.info("particle filling added %d particles", len(new01))
-    return pos, {"cov_upper": cov, "opacity": opac}
+        if len(new_mpm):
+            pos_mpm = np.concatenate([pos_mpm, np.asarray(new_mpm, np.float32)])
+            logging.info("particle filling added %d particles", len(new_mpm))
+
+    # filled particles carry zero covariance (gs_simulation.py:479-481)
+    init_cov_full = np.zeros((len(pos_mpm), 6), np.float32)
+    init_cov_full[:gs_num] = init_cov_mpm
+
+    gs_payload = {
+        "shs": init_shs, "opacity": init_opacity,
+        "unselected": unselected, "gs_num": gs_num,
+    }
+    keep_all = np.ones(len(pos_mpm), bool)
+    return (rotated_pos, init_cov_full, gs_payload, scale_origin,
+            original_mean_pos, pos_mpm, keep_all, n0)

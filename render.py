@@ -92,7 +92,10 @@ def render_gs_views(cfg, paths, n_views: int = 8, res: int = 256):
 
 
 def render_sim_frames(cfg, paths, res: int = 512):
-    """Orthographic point scatter of simulated frame PLYs + video."""
+    """Simulation video.  When the sim loop already rasterized GS frames
+    (physics.render_img, the reference's flagship output), compile those;
+    otherwise fall back to an orthographic point scatter of the material
+    PLYs (pre-GS-render legacy path)."""
     from pixie_tpu.utils.io import read_ply
     from pixie_tpu.utils.viz import render_pointcloud_image, compile_video
 
@@ -100,9 +103,20 @@ def render_sim_frames(cfg, paths, res: int = 512):
     ply_dir = sim_dir / "ply_files"
     out_dir = sim_dir / "frames"
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    gs_frames = sorted(out_dir.glob("*.png"))
+    if gs_frames:
+        if cfg.physics.compile_video:
+            compile_video(out_dir, sim_dir / "simulation.mp4",
+                          fps=cfg.output_rendering.fps)
+        logging.info("sim frames (GS-rasterized) -> %s", out_dir)
+        return out_dir
+
     frames = sorted(ply_dir.glob("frame_*.ply"))
     for f in frames:
         v = read_ply(f)["vertex"]
+        if "material_id" not in (v.dtype.names or ()):
+            continue  # gaussian-format PLY; frames/ should exist instead
         img = render_pointcloud_image(
             np.column_stack([v["x"], v["y"], v["z"]]),
             labels=np.asarray(v["material_id"]), res=res,
