@@ -29,9 +29,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE = 8            # grid cells per tile edge
+# Grid cells per tile edge.  The stored window is WIN_S = 16 either way
+# (the kernels' pair maps are (PBLK, 16*16) and hardcode the 16-lane split),
+# so TILE=12 uses the SAME kernels with a 16/16-valid window instead of
+# 12/16 — denser particle packing (fewer padded blocks) and 2.7x fewer
+# tiles at a given n_grid, at the cost of less drift slack per resort.
+# v5e measurements in docs/DESIGN.md.
+TILE = int(os.environ.get("PIXIE_TILE", "8"))
 WIN = TILE + 4      # valid node-window extent per axis (drift +/-1 included)
-WIN_S = 2 * TILE    # stored window extent (padded for the parity combine)
+WIN_S = 16          # stored window extent (kernel lane layout)
+assert 2 <= TILE <= WIN_S - 4, f"TILE={TILE} needs TILE+4 <= WIN_S=16"
 # particles per kernel block (per-tile padding granularity).  Swept on v5e at
 # 100k particles / 50^3 grid: 128 -> 70.7 substeps/s, 256 -> 61.3, 512 -> 39.3
 # — the kernels are NOT per-program-overhead-bound; smaller blocks pipeline
@@ -116,50 +123,21 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float):
 
 def combine_windows(windows: jnp.ndarray, n_grid: int, n_channels: int) -> jnp.ndarray:
     """Dense combine: per-tile (T,T,T, WIN_S,WIN_S,WIN_S, C) windows ->
-    (G,G,G,C) grid; window u -> grid TILE*t + u - 1.  Pure reshapes and
-    2^3 parity-shifted adds — no scatter."""
+    (G,G,G,C) grid; window u -> grid TILE*t + u - 1.  Routed through the
+    blocked slice-based combine (general in TILE); linear-path/tests only."""
     t = n_tiles(n_grid)
-    g_pad = t * TILE
-    w = windows.reshape(t, t, t, 2, TILE, 2, TILE, 2, TILE, n_channels)
-
-    out = jnp.zeros(
-        (g_pad + TILE, g_pad + TILE, g_pad + TILE, n_channels), windows.dtype
-    )
-    for ax in range(2):
-        for ay in range(2):
-            for az in range(2):
-                blk = w[:, :, :, ax, :, ay, :, az, :, :]
-                blk = blk.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-                    g_pad, g_pad, g_pad, n_channels
-                )
-                out = out.at[
-                    ax * TILE : ax * TILE + g_pad,
-                    ay * TILE : ay * TILE + g_pad,
-                    az * TILE : az * TILE + g_pad,
-                ].add(blk)
-    return out[1 : n_grid + 1, 1 : n_grid + 1, 1 : n_grid + 1, :]
+    w = windows.reshape(t, t, t, WIN_S, WIN_S, WIN_S, n_channels)
+    w = jnp.moveaxis(w, -1, 3)  # (t,t,t,C,WIN_S,WIN_S,WIN_S)
+    blocked = combine_windows_blocked(w, n_channels)
+    return blocked_to_linear(blocked, n_grid)
 
 
 def extract_windows(grid: jnp.ndarray, n_grid: int) -> jnp.ndarray:
     """Adjoint: (G,G,G,C) -> per-tile (T,T,T, WIN_S,WIN_S,WIN_S, C) windows;
     windows[t, u] = grid[TILE*t + u - 1] (zero outside)."""
-    c = grid.shape[-1]
-    t = n_tiles(n_grid)
-    g_pad = t * TILE
-    padded = jnp.zeros((g_pad + TILE, g_pad + TILE, g_pad + TILE, c), grid.dtype)
-    padded = padded.at[1 : n_grid + 1, 1 : n_grid + 1, 1 : n_grid + 1].set(grid)
-
-    out = jnp.zeros((t, t, t, 2, TILE, 2, TILE, 2, TILE, c), grid.dtype)
-    for ax in range(2):
-        for ay in range(2):
-            for az in range(2):
-                blk = padded[
-                    ax * TILE : ax * TILE + g_pad,
-                    ay * TILE : ay * TILE + g_pad,
-                    az * TILE : az * TILE + g_pad,
-                ].reshape(t, TILE, t, TILE, t, TILE, c).transpose(0, 2, 4, 1, 3, 5, 6)
-                out = out.at[:, :, :, ax, :, ay, :, az, :, :].set(blk)
-    return out.reshape(t, t, t, WIN_S, WIN_S, WIN_S, c)
+    blocked = linear_to_blocked(grid, n_grid)
+    w = extract_windows_blocked(blocked)
+    return jnp.moveaxis(w, 3, -1)  # (t,t,t,WIN_S,WIN_S,WIN_S,C)
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +176,8 @@ def _expand_axis(g, tile_axis, block_axis):
     bsl = lambda a, lo, hi: jax.lax.slice_in_dim(a, lo, hi, axis=block_axis)
     piece0 = bsl(_tile_shift(g, tile_axis, -1), TILE - 1, TILE)      # u = 0
     piece1 = g                                                        # u = 1..TILE
-    piece2 = bsl(_tile_shift(g, tile_axis, 1), 0, TILE - 1)          # u = TILE+1..
+    # u = TILE+1 .. WIN_S-1 come from the next tile's low cells
+    piece2 = bsl(_tile_shift(g, tile_axis, 1), 0, WIN_S - TILE - 1)
     return jnp.concatenate([piece0, piece1, piece2], axis=block_axis)
 
 
@@ -208,10 +187,10 @@ def _reduce_axis(w, tile_axis, u_axis):
     pad_cfg = [(0, 0, 0)] * w.ndim
 
     mid = usl(w, 1, TILE + 1)                              # own tile
-    # W[tx, u in TILE+1..2TILE-1] -> B[tx+1, b=0..TILE-2]: shift tiles down
-    from_prev = _tile_shift(usl(w, TILE + 1, 2 * TILE), tile_axis, -1)
+    # W[tx, u in TILE+1..WIN_S-1] -> B[tx+1, b=0..WIN_S-TILE-2]: shift down
+    from_prev = _tile_shift(usl(w, TILE + 1, WIN_S), tile_axis, -1)
     cfg = list(pad_cfg)
-    cfg[u_axis] = (0, 1, 0)
+    cfg[u_axis] = (0, TILE - (WIN_S - TILE - 1), 0)
     from_prev = jax.lax.pad(from_prev, jnp.zeros((), w.dtype), cfg)
     # W[tx, u=0] -> B[tx-1, b=TILE-1]: shift tiles up
     from_next = _tile_shift(usl(w, 0, 1), tile_axis, 1)
@@ -264,7 +243,7 @@ def _fold_mats():
     for b in range(TILE):
         own[b + 1, b] = 1.0          # u = b+1 on the same tile
     prev = np.zeros((WIN_S, TILE), np.float32)
-    for b in range(TILE - 1):
+    for b in range(WIN_S - TILE - 1):
         prev[b + TILE + 1, b] = 1.0  # high window cells of tile tw'-1
     nxt = np.zeros((WIN_S, TILE), np.float32)
     nxt[0, TILE - 1] = 1.0           # u=0 of tile tw'+1 -> b = TILE-1

@@ -55,6 +55,38 @@ BF16_DOTS = False
 # Kept for A/B forensics; default off.
 PAIRS_MXU = os.environ.get("PIXIE_PAIRS_MXU", "0") == "1"
 
+# emit the kernels' contraction as five per-variant accumulating dots, each
+# issued right after its (VPU-built) pair map, instead of one big concat dot
+# after all pair maps exist — gives Mosaic a chance to overlap the VPU pair
+# construction of variant v+1 with the MXU dot of variant v.
+SPLIT_DOTS = os.environ.get("PIXIE_SPLIT_DOTS", "0") == "1"
+
+
+def _pair_terms(u0y, fy, u0z, fz):
+    """Lazy per-variant (y,z) pair maps: list of 5 thunks in the order
+    (1,1), (2,1), (1,2), (3,1), (1,3) (matches _pairs)."""
+    n = u0y.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, WIN_S * WIN_S), 1)
+    cy = (col >> 4).astype(jnp.float32)
+    cz = (col & (WIN_S - 1)).astype(jnp.float32)
+
+    def wide_factors(c, u0c, fc):
+        w = [0.5 * (1.5 - fc) ** 2, 0.75 - (fc - 1.0) ** 2, 0.5 * (fc - 0.5) ** 2]
+        dw = [fc - 1.5, -2.0 * (fc - 1.0), fc - 0.5]
+        w1 = jnp.zeros_like(c)
+        w3 = jnp.zeros_like(c)
+        for i in range(3):
+            hit = c == (u0c + i)
+            w1 = jnp.where(hit, w[i], w1)
+            w3 = jnp.where(hit, dw[i], w3)
+        w2 = w1 * (c - u0c - fc)
+        return w1, w2, w3
+
+    y1, y2, y3 = wide_factors(cy, u0y[:, None], fy[:, None])
+    z1, z2, z3 = wide_factors(cz, u0z[:, None], fz[:, None])
+    return [lambda: y1 * z1, lambda: y2 * z1, lambda: y1 * z2,
+            lambda: y3 * z1, lambda: y1 * z3]
+
 
 def _pairs_dispatch(u0y, fy, u0z, fz):
     fn = _pairs_mxu if PAIRS_MXU else _pairs

@@ -37,8 +37,11 @@ def test_window_grid_coordinate_mapping(rng):
     """windows[t, u] must land at grid cell TILE*t + u - 1."""
     n_grid = 32
     t = n_tiles(n_grid)
-    for (ti, tj, tk, u, v, w_) in [(0, 0, 0, 1, 1, 1), (1, 2, 0, 11, 0, 9),
-                                   (3, 3, 3, 6, 6, 2), (2, 1, 3, 0, 3, 4)]:
+    cases = [(0, 0, 0, 1, 1, 1), (1, 2, 0, 11, 0, 9),
+             (3, 3, 3, 6, 6, 2), (2, 1, 3, 0, 3, 4)]
+    cases = [(min(ti, t - 1), min(tj, t - 1), min(tk, t - 1), u, v, w_)
+             for (ti, tj, tk, u, v, w_) in cases]
+    for (ti, tj, tk, u, v, w_) in cases:
         win = jnp.zeros((t, t, t, WIN_S, WIN_S, WIN_S, 2))
         win = win.at[ti, tj, tk, u, v, w_, :].set(1.0)
         grid = np.asarray(combine_windows(win, n_grid, 2))
@@ -54,11 +57,11 @@ def test_combine_accumulates_overlaps(rng):
     n_grid = 32
     t = n_tiles(n_grid)
     win = jnp.zeros((t, t, t, WIN_S, WIN_S, WIN_S, 1))
-    # tile 0 window u=9 -> grid 8; tile 1 window u=1 -> grid 8
-    win = win.at[0, 0, 0, 9, 1, 1, 0].set(2.0)
+    # grid node TILE is tile 0's window u=TILE+1 and tile 1's window u=1
+    win = win.at[0, 0, 0, TILE + 1, 1, 1, 0].set(2.0)
     win = win.at[1, 0, 0, 1, 1, 1, 0].set(3.0)
     grid = np.asarray(combine_windows(win, n_grid, 1))
-    assert grid[8, 0, 0, 0] == 5.0
+    assert grid[TILE, 0, 0, 0] == 5.0
 
 
 def test_extract_matches_padded_indexing(rng):
@@ -67,7 +70,7 @@ def test_extract_matches_padded_indexing(rng):
     wins = np.asarray(extract_windows(grid, n_grid))
     t = n_tiles(n_grid)
     g = np.asarray(grid)
-    for (ti, tj, tk) in [(0, 0, 0), (1, 1, 2), (t - 1, t - 1, t - 1)]:
+    for (ti, tj, tk) in [(0, 0, 0), (1, 1, t - 1), (t - 1, t - 1, t - 1)]:
         for (u, v, w_) in [(0, 0, 0), (1, 4, 11), (15, 15, 15), (3, 0, 5)]:
             gx, gy, gz = TILE * ti + u - 1, TILE * tj + v - 1, TILE * tk + w_ - 1
             if all(0 <= c < n_grid for c in (gx, gy, gz)):
