@@ -35,7 +35,7 @@ import numpy as np
 # 12/16 — denser particle packing (fewer padded blocks) and 2.7x fewer
 # tiles at a given n_grid, at the cost of less drift slack per resort.
 # v5e measurements in docs/DESIGN.md.
-TILE = int(os.environ.get("PIXIE_TILE", "8"))
+TILE = int(os.environ.get("PIXIE_TILE", "12"))
 WIN = TILE + 4      # valid node-window extent per axis (drift +/-1 included)
 WIN_S = 16          # stored window extent (kernel lane layout)
 assert 2 <= TILE <= WIN_S - 4, f"TILE={TILE} needs TILE+4 <= WIN_S=16"

@@ -62,32 +62,6 @@ PAIRS_MXU = os.environ.get("PIXIE_PAIRS_MXU", "0") == "1"
 SPLIT_DOTS = os.environ.get("PIXIE_SPLIT_DOTS", "0") == "1"
 
 
-def _pair_terms(u0y, fy, u0z, fz):
-    """Lazy per-variant (y,z) pair maps: list of 5 thunks in the order
-    (1,1), (2,1), (1,2), (3,1), (1,3) (matches _pairs)."""
-    n = u0y.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, WIN_S * WIN_S), 1)
-    cy = (col >> 4).astype(jnp.float32)
-    cz = (col & (WIN_S - 1)).astype(jnp.float32)
-
-    def wide_factors(c, u0c, fc):
-        w = [0.5 * (1.5 - fc) ** 2, 0.75 - (fc - 1.0) ** 2, 0.5 * (fc - 0.5) ** 2]
-        dw = [fc - 1.5, -2.0 * (fc - 1.0), fc - 0.5]
-        w1 = jnp.zeros_like(c)
-        w3 = jnp.zeros_like(c)
-        for i in range(3):
-            hit = c == (u0c + i)
-            w1 = jnp.where(hit, w[i], w1)
-            w3 = jnp.where(hit, dw[i], w3)
-        w2 = w1 * (c - u0c - fc)
-        return w1, w2, w3
-
-    y1, y2, y3 = wide_factors(cy, u0y[:, None], fy[:, None])
-    z1, z2, z3 = wide_factors(cz, u0z[:, None], fz[:, None])
-    return [lambda: y1 * z1, lambda: y2 * z1, lambda: y1 * z2,
-            lambda: y3 * z1, lambda: y1 * z3]
-
-
 def _pairs_dispatch(u0y, fy, u0z, fz):
     fn = _pairs_mxu if PAIRS_MXU else _pairs
     return fn(u0y, fy, u0z, fz)
@@ -355,15 +329,24 @@ def _p2g_kernel_t(tile_ref, pdata_ref, out_ref, acc_ref):
     l31 = lefts([x1 * d[_QSY + c][:, None] for c in range(3)] + [zero])
     l13 = lefts([x1 * d[_QSZ + c][:, None] for c in range(3)] + [zero])
 
-    left_big = jnp.concatenate([l11, l21, l12, l31, l13], axis=0)
-    pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)
-    if BF16_DOTS:
-        left_big = left_big.astype(jnp.bfloat16)
-        pair_big = pair_big.astype(jnp.bfloat16)
-    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
-        left_big, pair_big, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if SPLIT_DOTS:
+        acc = jnp.zeros_like(acc_ref)
+        for l, p in zip((l11, l21, l12, l31, l13), (p11, p21, p12, p31, p13)):
+            acc = acc + jax.lax.dot_general(
+                l, p, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[...] = acc_ref[...] + acc
+    else:
+        left_big = jnp.concatenate([l11, l21, l12, l31, l13], axis=0)
+        pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)
+        if BF16_DOTS:
+            left_big = left_big.astype(jnp.bfloat16)
+            pair_big = pair_big.astype(jnp.bfloat16)
+        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+            left_big, pair_big, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(last)
     def _():
@@ -409,18 +392,27 @@ def _g2p_kernel_t(tile_ref, pdata_ref, win_ref, out_ref):
     )
 
     win = win_ref[0]
-    pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)
-    if BF16_DOTS:
-        pair_big = pair_big.astype(jnp.bfloat16)
-        win = win.astype(jnp.bfloat16)
-    t_big = jax.lax.dot_general(
-        pair_big, win, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     n = x1.shape[0]
+    if SPLIT_DOTS:
+        ts = [jax.lax.dot_general(
+            p, win, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) for p in (p11, p21, p12, p31, p13)]
 
-    def t(v, c):
-        return t_big[v * n : (v + 1) * n, c * WIN_S : (c + 1) * WIN_S]
+        def t(v, c):
+            return ts[v][:, c * WIN_S : (c + 1) * WIN_S]
+    else:
+        pair_big = jnp.concatenate([p11, p21, p12, p31, p13], axis=0)
+        if BF16_DOTS:
+            pair_big = pair_big.astype(jnp.bfloat16)
+            win = win.astype(jnp.bfloat16)
+        t_big = jax.lax.dot_general(
+            pair_big, win, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        def t(v, c):
+            return t_big[v * n : (v + 1) * n, c * WIN_S : (c + 1) * WIN_S]
 
     rows = []
     for c in range(3):
