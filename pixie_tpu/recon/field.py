@@ -27,6 +27,7 @@ from pixie_tpu.recon.hashgrid import (
     frequency_encoding,
     sh_encoding,
 )
+from pixie_tpu.recon.mxu_hash import MXUHashConfig, MXUHashEncoding
 
 
 class MLP(nn.Module):
@@ -43,18 +44,32 @@ class MLP(nn.Module):
 
 
 class NerfField(nn.Module):
-    """Density + RGB field (Nerfacto-lite)."""
+    """Density + RGB field (Nerfacto-lite).
+
+    encoding="mxu" (default) uses the gather-free MXU hash encoding
+    (recon/mxu_hash.py — the TPU-native fast path); "hashgrid" keeps the
+    tcnn-layout gather encoding (slow on TPU, exact tcnn semantics).
+    """
 
     geo_dim: int = 15
+    encoding: str = "mxu"
 
     @nn.compact
     def __call__(self, positions, directions=None, density_only: bool = False):
-        enc = HashGridEncoding(
-            HashGridConfig(n_levels=16, features_per_level=2,
-                           log2_table_size=19, base_resolution=16,
-                           max_resolution=1024),
-            name="grid",
-        )(positions)
+        if self.encoding == "mxu":
+            enc = MXUHashEncoding(
+                MXUHashConfig(n_levels=16, features_per_level=2,
+                              lo=128, hi=64, base_resolution=16,
+                              max_resolution=512),
+                name="grid",
+            )(positions)
+        else:
+            enc = HashGridEncoding(
+                HashGridConfig(n_levels=16, features_per_level=2,
+                               log2_table_size=19, base_resolution=16,
+                               max_resolution=1024),
+                name="grid",
+            )(positions)
         h = MLP(64, 1, 1 + self.geo_dim, name="density_mlp")(enc)
         # trunc_exp-style density activation (nerfstudio)
         density = jnp.exp(jnp.clip(h[..., :1] - 1.0, -15.0, 15.0))
@@ -76,15 +91,24 @@ class FeatureField(nn.Module):
     feature_dim: int = 768
     use_pe: bool = True
     pe_n_freq: int = 6
+    encoding: str = "mxu"
 
     @nn.compact
     def __call__(self, positions):
-        enc = HashGridEncoding(
-            HashGridConfig(n_levels=12, features_per_level=8,
-                           log2_table_size=19, base_resolution=16,
-                           max_resolution=128),
-            name="grid",
-        )(positions)
+        if self.encoding == "mxu":
+            enc = MXUHashEncoding(
+                MXUHashConfig(n_levels=12, features_per_level=8,
+                              lo=128, hi=32, base_resolution=16,
+                              max_resolution=128),
+                name="grid",
+            )(positions)
+        else:
+            enc = HashGridEncoding(
+                HashGridConfig(n_levels=12, features_per_level=8,
+                               log2_table_size=19, base_resolution=16,
+                               max_resolution=128),
+                name="grid",
+            )(positions)
         if self.use_pe:
             enc = jnp.concatenate(
                 [enc, frequency_encoding(positions, self.pe_n_freq)], axis=-1

@@ -24,9 +24,11 @@ from pixie_tpu.recon.field import FeatureField, NerfField
 class FieldAdapter:
     def __init__(self, nerf_params, feat_params=None, feature_dim: int = 768,
                  world_to_nerf_scale: float = 1.0,
-                 world_to_nerf_transform: np.ndarray | None = None):
-        self.nerf = NerfField()
-        self.feat = FeatureField(feature_dim=feature_dim) if feat_params else None
+                 world_to_nerf_transform: np.ndarray | None = None,
+                 encoding: str = "mxu"):
+        self.nerf = NerfField(encoding=encoding)
+        self.feat = (FeatureField(feature_dim=feature_dim, encoding=encoding)
+                     if feat_params else None)
         self.nerf_params = nerf_params
         self.feat_params = feat_params
         self.scale = float(world_to_nerf_scale)
@@ -89,9 +91,11 @@ def load_field_adapter(output_dir: str | Path) -> FieldAdapter:
 
     params = load_field_checkpoint(output_dir)
     meta_path = Path(output_dir) / "checkpoints" / "field_meta.json"
-    feature_dim = 768
+    feature_dim, encoding = 768, "mxu"
     if meta_path.exists():
-        feature_dim = json.loads(meta_path.read_text()).get("feature_dim", 768)
+        meta = json.loads(meta_path.read_text())
+        feature_dim = meta.get("feature_dim", 768)
+        encoding = meta.get("encoding", "mxu")
 
     scale, transform = 1.0, None
     dp = Path(output_dir) / "dataparser_transforms.json"
@@ -103,4 +107,5 @@ def load_field_adapter(output_dir: str | Path) -> FieldAdapter:
     return FieldAdapter(
         params["nerf"], params.get("feat"), feature_dim=feature_dim,
         world_to_nerf_scale=scale, world_to_nerf_transform=transform,
+        encoding=encoding,
     )

@@ -40,6 +40,10 @@ class FieldTrainConfig:
     feat_loss_weight: float = 1e-3
     feature_dim: int = 768
     seed: int = 42
+    # "mxu" = gather-free MXU hash encoding (TPU fast path);
+    # "hashgrid" = tcnn-layout gather encoding (fast on CPU)
+    encoding: str = "mxu"
+    eval_views: int = 2  # held-out views for the final PSNR report
     render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
 
 
@@ -150,6 +154,66 @@ def make_ray_fn(dataset, feature_maps=None):
     return sample
 
 
+def make_view_rays(c2w: np.ndarray, intrinsics, hw):
+    """All pixel rays of one camera (origins, dirs), Blender convention."""
+    fx, fy, cx, cy = intrinsics
+    h, w = hw
+    px, py = np.meshgrid(np.arange(w), np.arange(h))
+    dirs_cam = np.stack(
+        [(px + 0.5 - cx) / fx, -(py + 0.5 - cy) / fy, -np.ones_like(px)],
+        axis=-1,
+    ).astype(np.float32)
+    dirs = dirs_cam.reshape(-1, 3) @ np.asarray(c2w[:3, :3], np.float32).T
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = np.broadcast_to(
+        np.asarray(c2w[:3, 3], np.float32), dirs.shape
+    ).copy()
+    return origins, dirs
+
+
+def render_full_view(nerf_apply, feat_apply, params, c2w, intrinsics, hw,
+                     rcfg: RenderConfig, chunk: int = 4096):
+    """Render one full image (rgb, accumulation) in ray chunks."""
+    origins, dirs = make_view_rays(c2w, intrinsics, hw)
+    n = origins.shape[0]
+    rows = []
+    rfn = jax.jit(
+        lambda o, d: render_rays(
+            nerf_apply, feat_apply, params["nerf"], params.get("feat"),
+            o, d, jax.random.PRNGKey(0), rcfg, train=False,
+            with_features=False,
+        )["rgb"]
+    )
+    for i in range(0, n, chunk):
+        o = origins[i : i + chunk]
+        d = dirs[i : i + chunk]
+        if len(o) < chunk:
+            pad = chunk - len(o)
+            o = np.pad(o, ((0, pad), (0, 0)))
+            d = np.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+            rows.append(np.asarray(rfn(jnp.asarray(o), jnp.asarray(d)))[: chunk - pad])
+        else:
+            rows.append(np.asarray(rfn(jnp.asarray(o), jnp.asarray(d))))
+    return np.concatenate(rows).reshape(hw[0], hw[1], 3)
+
+
+def evaluate_field(params, dataset, view_indices, nerf_apply, feat_apply,
+                   rcfg: RenderConfig) -> dict:
+    """Test-view PSNR over held-out views (nerfstudio eval-loop analog;
+    reference PSNR reporting: gaussian-splatting/train.py:100-112)."""
+    from pixie_tpu.utils.metrics import psnr  # noqa: PLC0415
+
+    vals = []
+    for vi in view_indices:
+        img = render_full_view(
+            nerf_apply, feat_apply, params, dataset["c2w"][vi],
+            dataset["intrinsics"], dataset["hw"], rcfg,
+        )
+        vals.append(psnr(img, dataset["images"][vi]))
+    return {"psnr_per_view": vals,
+            "psnr_mean": float(np.mean(vals)) if vals else float("nan")}
+
+
 def train_feature_field(
     data_dir: str | Path,
     output_dir: str | Path,
@@ -166,9 +230,23 @@ def train_feature_field(
     feature_maps = np.load(features_path) if with_features else None
     if feature_maps is not None:
         cfg = dataclasses.replace(cfg, feature_dim=int(feature_maps.shape[-1]))
-    sample_rays = make_ray_fn(dataset, feature_maps)
-    nerf = NerfField()
-    feat = FeatureField(feature_dim=cfg.feature_dim) if with_features else None
+
+    # hold out the last eval_views frames for the test-view PSNR report
+    # (nerfstudio's train/eval split analog)
+    n_frames = len(dataset["images"])
+    n_eval = min(cfg.eval_views, max(0, n_frames - 2))
+    eval_indices = list(range(n_frames - n_eval, n_frames))
+    train_ds = dict(dataset)
+    if n_eval:
+        train_ds["images"] = dataset["images"][: n_frames - n_eval]
+        train_ds["c2w"] = dataset["c2w"][: n_frames - n_eval]
+        fm_train = feature_maps[: n_frames - n_eval] if with_features else None
+    else:
+        fm_train = feature_maps
+    sample_rays = make_ray_fn(train_ds, fm_train)
+    nerf = NerfField(encoding=cfg.encoding)
+    feat = (FeatureField(feature_dim=cfg.feature_dim, encoding=cfg.encoding)
+            if with_features else None)
 
     rng = jax.random.PRNGKey(cfg.seed)
     dummy = jnp.zeros((8, 3))
@@ -223,6 +301,15 @@ def train_feature_field(
                          time.time() - t0)
 
     save_field_checkpoint(output_dir, params, cfg)
+
+    metrics = {"train_s": time.time() - t0, "final_loss": float(loss)}
+    if eval_indices:
+        metrics.update(evaluate_field(
+            params, dataset, eval_indices, nerf_apply, feat_apply, cfg.render
+        ))
+        logging.info("field eval PSNR %.2f dB over views %s",
+                     metrics["psnr_mean"], eval_indices)
+    (output_dir / "metrics.json").write_text(json.dumps(metrics, indent=1))
     return params
 
 
@@ -233,7 +320,8 @@ def save_field_checkpoint(output_dir: str | Path, params, cfg: FieldTrainConfig)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(params), force=True)
     meta = {"feature_dim": cfg.feature_dim,
-            "with_features": "feat" in params}
+            "with_features": "feat" in params,
+            "encoding": cfg.encoding}
     (path.parent / "field_meta.json").write_text(json.dumps(meta))
     logging.info("saved field checkpoint to %s", path)
 

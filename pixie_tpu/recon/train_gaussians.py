@@ -16,6 +16,7 @@ retain_grad.
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import time
 from pathlib import Path
@@ -286,6 +287,29 @@ def train_gaussian_splatting(
     final = {k: np.asarray(v)[:active_n] for k, v in params.items()}
     G.save_gaussian_ply(out / "point_cloud.ply", final)
     logging.info("saved %d gaussians to %s", active_n, out)
+
+    # train-view PSNR report (reference gaussian-splatting/train.py:100-112
+    # logs train PSNR; we evaluate every view at the final iterate)
+    from pixie_tpu.utils.metrics import psnr  # noqa: PLC0415
+
+    render_jit = jax.jit(
+        lambda p, vm: render(p, vm, jnp.zeros((p["xyz"].shape[0], 2)))[0]
+    )
+    psnrs = [
+        psnr(np.clip(np.asarray(render_jit(params, jnp.asarray(vm))), 0, 1),
+             img)
+        for vm, img in zip(viewmats, images)
+    ]
+    metrics = {
+        "psnr_per_view": [float(p) for p in psnrs],
+        "psnr_mean": float(np.mean(psnrs)),
+        "n_gaussians": int(active_n),
+        "train_s": time.time() - t0,
+    }
+    output_dir.mkdir(parents=True, exist_ok=True)
+    (output_dir / "metrics.json").write_text(json.dumps(metrics, indent=1))
+    logging.info("gs train PSNR %.2f dB over %d views",
+                 metrics["psnr_mean"], len(psnrs))
     return final
 
 

@@ -49,3 +49,14 @@ def mean_se_ci90(values: np.ndarray) -> dict:
         "ci90_hi": mean + z90 * se,
         "n": n,
     }
+
+
+def psnr(pred, target, max_val: float = 1.0) -> float:
+    """Peak signal-to-noise ratio in dB (reference: gaussian-splatting
+    utils/image_utils.py psnr; nerfstudio eval loop)."""
+    pred = np.asarray(pred, np.float32)
+    target = np.asarray(target, np.float32)
+    mse = float(np.mean((pred - target) ** 2))
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(max_val) - 10.0 * np.log10(mse))

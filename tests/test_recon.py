@@ -146,6 +146,7 @@ class TestFieldTraining:
         data = make_synthetic_blender_dataset(tmp_path / "data")
         cfg = FieldTrainConfig(
             max_iterations=30, rays_per_batch=256,
+            encoding="hashgrid",  # gather encoding is the fast path on CPU
             render=RenderConfig(n_coarse=16, n_fine=8),
         )
         import logging
