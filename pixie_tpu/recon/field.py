@@ -116,6 +116,25 @@ class FeatureField(nn.Module):
         return MLP(64, 2, self.feature_dim, name="mlp")(enc)
 
 
+class ProposalField(nn.Module):
+    """Tiny density-only field for proposal sampling (nerfstudio's
+    HashMLPDensityField analog, nerfacto proposal_networks).  A small MXU
+    hash encode + 1-layer MLP: ~1/10 the FLOPs of the full NerfField, so
+    spending 64 coarse samples here and only n_fine samples in the full
+    fields is the TPU-efficient shape of hierarchical sampling."""
+
+    @nn.compact
+    def __call__(self, positions):
+        enc = MXUHashEncoding(
+            MXUHashConfig(n_levels=5, features_per_level=2,
+                          lo=128, hi=16, base_resolution=16,
+                          max_resolution=128),
+            name="grid",
+        )(positions)
+        h = MLP(16, 1, 1, name="density_mlp")(enc)
+        return jnp.exp(jnp.clip(h - 1.0, -15.0, 15.0))
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     n_coarse: int = 64
@@ -192,6 +211,143 @@ def render_rays(
         feats = feat_apply(params_feat, pts01)
         # stop-gradient on weights: feature loss must not shape geometry
         # (f3rm/model.py renders features with detached weights)
+        wf = jax.lax.stop_gradient(w)
+        out["feature"] = (wf[..., None] * feats).sum(-2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Proposal-sampled rendering (the nerfacto proposal-network machinery,
+# nerfstudio model_components/ray_samplers.py ProposalNetworkSampler +
+# mip-NeRF 360 interlevel loss) — TPU-first: fixed sample counts, one jit.
+# ---------------------------------------------------------------------------
+
+
+def _weights_from_sigma(sigma, t_edges):
+    """Piecewise-constant volume-rendering weights per interval."""
+    delta = t_edges[..., 1:] - t_edges[..., :-1]
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], -1
+    )
+    return alpha * trans
+
+
+def _sample_pdf(t_edges, weights, n: int, rng, train: bool):
+    """Continuous inverse-CDF sampling of n points from the piecewise-
+    constant pdf over intervals (NeRF sample_pdf; linear interp in-bin)."""
+    n_rays, n_bins = weights.shape
+    w = weights + 1e-5
+    cdf = jnp.cumsum(w, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+    cdf = cdf / cdf[..., -1:]
+
+    if train:
+        u = jax.random.uniform(rng, (n_rays, n))
+    else:
+        u = jnp.broadcast_to(
+            jnp.linspace(1e-4, 1.0 - 1e-4, n), (n_rays, n)
+        )
+    idx = jnp.clip(
+        jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+        - 1, 0, n_bins - 1,
+    )
+    cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
+    t_lo = jnp.take_along_axis(t_edges, idx, axis=-1)
+    t_hi = jnp.take_along_axis(t_edges, idx + 1, axis=-1)
+    denom = jnp.where(cdf_hi - cdf_lo < 1e-8, 1.0, cdf_hi - cdf_lo)
+    frac = (u - cdf_lo) / denom
+    return jnp.sort(t_lo + frac * (t_hi - t_lo), axis=-1)
+
+
+def _outer_measure(t_ref, w_ref, t_query):
+    """Sum of reference mass over bins intersecting each query interval
+    (mip-NeRF 360 inner_outer upper bound; multinerf stepfun.py)."""
+    cw = jnp.cumsum(w_ref, axis=-1)
+    cw = jnp.concatenate([jnp.zeros_like(cw[..., :1]), cw], -1)
+    n_bins = w_ref.shape[-1]
+    idx_lo = jnp.clip(
+        jax.vmap(lambda t, q: jnp.searchsorted(t, q, side="right"))(
+            t_ref, t_query[..., :-1]
+        ) - 1, 0, n_bins,
+    )
+    idx_hi = jnp.clip(
+        jax.vmap(lambda t, q: jnp.searchsorted(t, q, side="left"))(
+            t_ref, t_query[..., 1:]
+        ), 0, n_bins,
+    )
+    return (jnp.take_along_axis(cw, idx_hi, axis=-1)
+            - jnp.take_along_axis(cw, jnp.minimum(idx_lo, idx_hi), axis=-1))
+
+
+def proposal_loss(t_prop, w_prop, t_fine, w_fine, eps: float = 1e-7):
+    """Interlevel loss: penalize proposal mass under-covering the final
+    distribution (mip-NeRF 360 eq. 13; gradient flows to the proposal)."""
+    w = jax.lax.stop_gradient(w_fine)
+    bound = _outer_measure(t_prop, w_prop, t_fine)
+    return jnp.mean(jnp.maximum(0.0, w - bound) ** 2 / (w + eps))
+
+
+def render_rays_prop(
+    prop_apply, nerf_apply, feat_apply, params_prop, params_nerf, params_feat,
+    origins, directions, rng, cfg: RenderConfig, train: bool = True,
+    with_features: bool = True,
+):
+    """Proposal-sampled hierarchical rendering.
+
+    n_coarse stratified samples through the tiny ProposalField pick
+    n_fine samples for the full fields; returns the render plus
+    "prop_loss" (add to the training objective at weight ~1.0, the
+    nerfacto interlevel_loss_mult default).
+    """
+    n_rays = origins.shape[0]
+
+    edges = jnp.linspace(cfg.near, cfg.far, cfg.n_coarse + 1)
+    t_edges = jnp.broadcast_to(edges, (n_rays, cfg.n_coarse + 1))
+    if train:
+        mids = 0.5 * (t_edges[..., 1:] + t_edges[..., :-1])
+        jitter = (jax.random.uniform(rng, mids.shape) - 0.5) \
+            * (t_edges[..., 1:] - t_edges[..., :-1])
+        t_p = mids + jitter
+    else:
+        t_p = 0.5 * (t_edges[..., 1:] + t_edges[..., :-1])
+
+    pts_p = origins[:, None, :] + t_p[..., None] * directions[:, None, :]
+    sigma_p = prop_apply(params_prop, pts_p * 0.5 + 0.5)[..., 0]
+    w_p = _weights_from_sigma(sigma_p, t_edges)
+
+    t_f = _sample_pdf(
+        t_edges, w_p, cfg.n_fine, jax.random.fold_in(rng, 1), train
+    )
+    # final intervals: midpoints between samples, closed by near/far
+    t_f_edges = jnp.concatenate(
+        [
+            jnp.full_like(t_f[..., :1], cfg.near),
+            0.5 * (t_f[..., 1:] + t_f[..., :-1]),
+            jnp.full_like(t_f[..., :1], cfg.far),
+        ],
+        axis=-1,
+    )
+
+    pts = origins[:, None, :] + t_f[..., None] * directions[:, None, :]
+    pts01 = pts * 0.5 + 0.5
+    dirs = jnp.broadcast_to(directions[:, None, :], pts.shape)
+    sigma, rgb = nerf_apply(params_nerf, pts01, dirs, False)
+    sigma = sigma[..., 0]
+    w = _weights_from_sigma(sigma, t_f_edges)
+
+    acc = w.sum(-1)
+    rgb_out = (w[..., None] * rgb).sum(-2) + cfg.bg_color * (1.0 - acc[..., None])
+    depth = (w * t_f).sum(-1)
+
+    out = {
+        "rgb": rgb_out, "accumulation": acc, "depth": depth, "weights": w,
+        "prop_loss": proposal_loss(t_edges, w_p, t_f_edges, w),
+    }
+    if with_features and feat_apply is not None:
+        feats = feat_apply(params_feat, pts01)
         wf = jax.lax.stop_gradient(w)
         out["feature"] = (wf[..., None] * feats).sum(-2)
     return out

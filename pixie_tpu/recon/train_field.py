@@ -28,7 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pixie_tpu.recon.field import FeatureField, NerfField, RenderConfig, render_rays
+from pixie_tpu.recon.field import (
+    FeatureField,
+    NerfField,
+    ProposalField,
+    RenderConfig,
+    render_rays,
+    render_rays_prop,
+)
 
 
 @dataclasses.dataclass
@@ -44,7 +51,13 @@ class FieldTrainConfig:
     # "hashgrid" = tcnn-layout gather encoding (fast on CPU)
     encoding: str = "mxu"
     eval_views: int = 2  # held-out views for the final PSNR report
-    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    # proposal sampling (nerfacto proposal networks): n_coarse samples
+    # through a tiny density field pick n_fine full-field samples
+    use_proposal: bool = True
+    prop_loss_weight: float = 1.0  # nerfacto interlevel_loss_mult
+    render: RenderConfig = dataclasses.field(
+        default_factory=lambda: RenderConfig(n_coarse=64, n_fine=32)
+    )
 
 
 # Method-config registry — the nerfstudio `method_configs` analog (reference
@@ -172,18 +185,28 @@ def make_view_rays(c2w: np.ndarray, intrinsics, hw):
 
 
 def render_full_view(nerf_apply, feat_apply, params, c2w, intrinsics, hw,
-                     rcfg: RenderConfig, chunk: int = 4096):
+                     rcfg: RenderConfig, chunk: int = 4096, prop_apply=None):
     """Render one full image (rgb, accumulation) in ray chunks."""
     origins, dirs = make_view_rays(c2w, intrinsics, hw)
     n = origins.shape[0]
     rows = []
-    rfn = jax.jit(
-        lambda o, d: render_rays(
-            nerf_apply, feat_apply, params["nerf"], params.get("feat"),
-            o, d, jax.random.PRNGKey(0), rcfg, train=False,
-            with_features=False,
-        )["rgb"]
-    )
+    if prop_apply is not None and "prop" in params:
+        rfn = jax.jit(
+            lambda o, d: render_rays_prop(
+                prop_apply, nerf_apply, feat_apply, params["prop"],
+                params["nerf"], params.get("feat"), o, d,
+                jax.random.PRNGKey(0), rcfg, train=False,
+                with_features=False,
+            )["rgb"]
+        )
+    else:
+        rfn = jax.jit(
+            lambda o, d: render_rays(
+                nerf_apply, feat_apply, params["nerf"], params.get("feat"),
+                o, d, jax.random.PRNGKey(0), rcfg, train=False,
+                with_features=False,
+            )["rgb"]
+        )
     for i in range(0, n, chunk):
         o = origins[i : i + chunk]
         d = dirs[i : i + chunk]
@@ -198,7 +221,7 @@ def render_full_view(nerf_apply, feat_apply, params, c2w, intrinsics, hw,
 
 
 def evaluate_field(params, dataset, view_indices, nerf_apply, feat_apply,
-                   rcfg: RenderConfig) -> dict:
+                   rcfg: RenderConfig, prop_apply=None) -> dict:
     """Test-view PSNR over held-out views (nerfstudio eval-loop analog;
     reference PSNR reporting: gaussian-splatting/train.py:100-112)."""
     from pixie_tpu.utils.metrics import psnr  # noqa: PLC0415
@@ -208,6 +231,7 @@ def evaluate_field(params, dataset, view_indices, nerf_apply, feat_apply,
         img = render_full_view(
             nerf_apply, feat_apply, params, dataset["c2w"][vi],
             dataset["intrinsics"], dataset["hw"], rcfg,
+            prop_apply=prop_apply,
         )
         vals.append(psnr(img, dataset["images"][vi]))
     return {"psnr_per_view": vals,
@@ -247,6 +271,7 @@ def train_feature_field(
     nerf = NerfField(encoding=cfg.encoding)
     feat = (FeatureField(feature_dim=cfg.feature_dim, encoding=cfg.encoding)
             if with_features else None)
+    prop = ProposalField() if cfg.use_proposal else None
 
     rng = jax.random.PRNGKey(cfg.seed)
     dummy = jnp.zeros((8, 3))
@@ -255,6 +280,8 @@ def train_feature_field(
     }
     if with_features:
         params["feat"] = feat.init(jax.random.fold_in(rng, 7), dummy)
+    if prop is not None:
+        params["prop"] = prop.init(jax.random.fold_in(rng, 13), dummy)
 
     sched = optax.exponential_decay(
         cfg.lr, cfg.max_iterations, cfg.lr_final / cfg.lr
@@ -266,6 +293,7 @@ def train_feature_field(
         p, pts, dirs, density_only
     )
     feat_apply = (lambda p, pts: feat.apply(p, pts)) if with_features else None
+    prop_apply = (lambda p, pts: prop.apply(p, pts)) if prop is not None else None
 
     @jax.jit
     def step(params, opt_state, rng):
@@ -273,13 +301,25 @@ def train_feature_field(
         origins, dirs, rgb_gt, feat_gt = sample_rays(kray, cfg.rays_per_batch)
 
         def loss_fn(params):
-            out = render_rays(
-                nerf_apply, feat_apply, params["nerf"],
-                params.get("feat"), origins, dirs, krender, cfg.render,
-                train=True, with_features=with_features,
-            )
+            if prop is not None:
+                out = render_rays_prop(
+                    prop_apply, nerf_apply, feat_apply, params["prop"],
+                    params["nerf"], params.get("feat"), origins, dirs,
+                    krender, cfg.render, train=True,
+                    with_features=with_features,
+                )
+            else:
+                out = render_rays(
+                    nerf_apply, feat_apply, params["nerf"],
+                    params.get("feat"), origins, dirs, krender, cfg.render,
+                    train=True, with_features=with_features,
+                )
             loss = jnp.mean((out["rgb"] - rgb_gt) ** 2)
             aux = {"rgb_loss": loss}
+            if prop is not None:
+                # interlevel loss trains the proposal field (mip-NeRF 360)
+                loss = loss + cfg.prop_loss_weight * out["prop_loss"]
+                aux["prop_loss"] = out["prop_loss"]
             if with_features:
                 # feature MSE at 1e-3 weight (f3rm/model.py:264-269)
                 floss = jnp.mean((out["feature"] - feat_gt) ** 2)
@@ -305,7 +345,8 @@ def train_feature_field(
     metrics = {"train_s": time.time() - t0, "final_loss": float(loss)}
     if eval_indices:
         metrics.update(evaluate_field(
-            params, dataset, eval_indices, nerf_apply, feat_apply, cfg.render
+            params, dataset, eval_indices, nerf_apply, feat_apply, cfg.render,
+            prop_apply=prop_apply,
         ))
         logging.info("field eval PSNR %.2f dB over views %s",
                      metrics["psnr_mean"], eval_indices)

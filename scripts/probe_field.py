@@ -77,23 +77,29 @@ def bench_query(batch: int, reps: int = 5):
     return med
 
 
-def bench_train_step(rays: int = 4096, reps: int = 5):
+def bench_train_step(rays: int = 4096, reps: int = 5, use_proposal: bool = False):
     import optax
+
+    from pixie_tpu.recon.field import ProposalField, render_rays_prop
 
     nerf = NerfField()
     feat = FeatureField()
+    prop = ProposalField() if use_proposal else None
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((8, 3))
     params = {
         "nerf": nerf.init(rng, dummy, jnp.zeros((8, 3)), False),
         "feat": feat.init(jax.random.fold_in(rng, 7), dummy),
     }
+    if prop is not None:
+        params["prop"] = prop.init(jax.random.fold_in(rng, 13), dummy)
     tx = optax.adam(1e-2, b1=0.9, b2=0.99, eps=1e-15)
     opt_state = tx.init(params)
-    rcfg = RenderConfig()
+    rcfg = RenderConfig(n_coarse=64, n_fine=32) if use_proposal else RenderConfig()
 
     nerf_apply = lambda p, pts, dirs, do: nerf.apply(p, pts, dirs, do)
     feat_apply = lambda p, pts: feat.apply(p, pts)
+    prop_apply = (lambda p, pts: prop.apply(p, pts)) if prop else None
 
     @jax.jit
     def step(params, opt_state, rng):
@@ -105,12 +111,21 @@ def bench_train_step(rays: int = 4096, reps: int = 5):
         feat_gt = jnp.zeros((rays, 768))
 
         def loss_fn(params):
-            out = render_rays(
-                nerf_apply, feat_apply, params["nerf"], params["feat"],
-                origins, dirs, k2, rcfg, train=True, with_features=True,
-            )
+            if prop is not None:
+                out = render_rays_prop(
+                    prop_apply, nerf_apply, feat_apply, params["prop"],
+                    params["nerf"], params["feat"], origins, dirs, k2, rcfg,
+                    train=True, with_features=True,
+                )
+            else:
+                out = render_rays(
+                    nerf_apply, feat_apply, params["nerf"], params["feat"],
+                    origins, dirs, k2, rcfg, train=True, with_features=True,
+                )
             loss = jnp.mean((out["rgb"] - rgb_gt) ** 2)
             floss = jnp.mean((out["feature"] - feat_gt) ** 2)
+            if prop is not None:
+                loss = loss + out["prop_loss"]
             return loss + 1e-3 * floss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -121,7 +136,8 @@ def bench_train_step(rays: int = 4096, reps: int = 5):
     t0 = time.time()
     params, opt_state, loss = step(params, opt_state, jax.random.fold_in(rng, 1))
     fetch(loss)
-    print(f"  train_step[{rays} rays] compile+first: {time.time()-t0:.1f}s",
+    tag = "prop" if use_proposal else "full"
+    print(f"  train_step[{rays} rays,{tag}] compile+first: {time.time()-t0:.1f}s",
           flush=True)
     times = []
     for r in range(reps):
@@ -131,7 +147,7 @@ def bench_train_step(rays: int = 4096, reps: int = 5):
         fetch(loss)
         times.append(time.time() - t0)
     med = float(np.median(times))
-    print(f"  train_step[{rays} rays]: {med*1e3:.1f} ms/step "
+    print(f"  train_step[{rays} rays,{tag}]: {med*1e3:.1f} ms/step "
           f"({1/med:.2f} it/s)", flush=True)
     return med
 

@@ -94,6 +94,61 @@ class TestRendering:
         assert out["feature"].shape == (4, 8)
 
 
+class TestProposalSampling:
+    def _setup(self):
+        from pixie_tpu.recon.field import ProposalField
+
+        nerf = NerfField()
+        prop = ProposalField()
+        rng = jax.random.PRNGKey(0)
+        pn = nerf.init(rng, jnp.zeros((4, 3)), jnp.zeros((4, 3)), False)
+        pp = prop.init(jax.random.fold_in(rng, 1), jnp.zeros((4, 3)))
+        napply = lambda p, pts, dirs, donly: nerf.apply(p, pts, dirs, donly)
+        papply = lambda p, pts: prop.apply(p, pts)
+        return napply, papply, pn, pp
+
+    def test_render_prop_shapes(self):
+        from pixie_tpu.recon.field import render_rays_prop
+
+        napply, papply, pn, pp = self._setup()
+        origins = jnp.zeros((8, 3)).at[:, 2].set(2.0)
+        dirs = jnp.zeros((8, 3)).at[:, 2].set(-1.0)
+        cfg = RenderConfig(n_coarse=32, n_fine=16)
+        out = render_rays_prop(papply, napply, None, pp, pn, None,
+                               origins, dirs, jax.random.PRNGKey(1), cfg,
+                               train=False, with_features=False)
+        assert out["rgb"].shape == (8, 3)
+        assert out["weights"].shape == (8, 16)
+        assert np.isfinite(float(out["prop_loss"]))
+        assert float(out["prop_loss"]) >= 0
+
+    def test_proposal_loss_direction(self):
+        """Proposal mass covering the final distribution -> ~zero loss;
+        proposal mass elsewhere -> positive loss."""
+        from pixie_tpu.recon.field import proposal_loss
+
+        t_prop = jnp.linspace(0.0, 1.0, 9)[None]    # 8 bins
+        t_fine = jnp.array([[0.50, 0.55, 0.60, 0.65, 0.70]])  # 4 bins
+        w_fine = jnp.array([[0.25, 0.25, 0.25, 0.25]])
+        covering = jnp.zeros((1, 8)).at[0, 4:6].set(0.5)   # bins [0.5, 0.75]
+        missing = jnp.zeros((1, 8)).at[0, 0:2].set(0.5)    # bins [0, 0.25]
+        lo = float(proposal_loss(t_prop, covering, t_fine, w_fine))
+        hi = float(proposal_loss(t_prop, missing, t_fine, w_fine))
+        assert lo < 1e-6
+        assert hi > 0.01
+
+    def test_sample_pdf_concentrates(self):
+        from pixie_tpu.recon.field import _sample_pdf
+
+        t_edges = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 17), (4, 17))
+        w = jnp.zeros((4, 16)).at[:, 8].set(1.0)  # all mass in [0.5, 0.5625]
+        t = _sample_pdf(t_edges, w, 8, jax.random.PRNGKey(0), train=False)
+        tn = np.asarray(t)
+        # nearly all samples inside the massive bin (eps spill allowed)
+        assert ((tn >= 0.49) & (tn <= 0.58)).mean() > 0.9
+        assert (np.diff(tn, axis=-1) >= 0).all()
+
+
 def make_synthetic_blender_dataset(root: Path, n_views=6, res=24):
     """A red unit sphere at the origin rendered analytically."""
     from PIL import Image
