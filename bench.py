@@ -124,11 +124,106 @@ def bench_mpm(n_particles: int, substeps: int, reps: int, fast: bool = True):
     return rate
 
 
+def bench_field(quick: bool):
+    """Voxelizer query + f3rm train step (VERDICT r2 #3: the previously
+    unbenchmarked stages).  Reference: voxelize.py:17-141,
+    feature_field.py:71-82."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pixie_tpu.recon.field import (
+        FeatureField,
+        NerfField,
+        ProposalField,
+        RenderConfig,
+        render_rays_prop,
+    )
+
+    side = 16 if quick else 64
+    rays = 256 if quick else 4096
+    rcfg = (RenderConfig(n_coarse=16, n_fine=8) if quick
+            else RenderConfig(n_coarse=64, n_fine=32))
+    reps = 2 if quick else 3
+
+    nerf, feat, prop = NerfField(), FeatureField(), ProposalField()
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((8, 3))
+    params = {
+        "nerf": nerf.init(rng, dummy, jnp.zeros((8, 3)), False),
+        "feat": feat.init(jax.random.fold_in(rng, 7), dummy),
+        "prop": prop.init(jax.random.fold_in(rng, 13), dummy),
+    }
+
+    @jax.jit
+    def query(p, pts):
+        return nerf.apply(p["nerf"], pts, None, True), \
+            feat.apply(p["feat"], pts)
+
+    grid = np.stack(
+        np.meshgrid(*[np.linspace(0, 1, side, dtype=np.float32)] * 3,
+                    indexing="ij"), axis=-1,
+    ).reshape(-1, 3)
+    t0 = time.time()
+    d, _ = query(params, jnp.asarray(grid))
+    float(jnp.sum(d))
+    log(f"voxel query compile+first: {time.time()-t0:.1f}s")
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        d, _ = query(params, jnp.asarray(grid) + np.float32(1e-4 * (r + 1)))
+        float(jnp.sum(d))
+        times.append(time.time() - t0)
+    query_ms = float(np.median(times)) * 1e3
+    log(f"voxel query: {query_ms:.1f} ms for {side}^3")
+
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    napply = lambda p, pts, dirs, do: nerf.apply(p, pts, dirs, do)
+    fapply = lambda p, pts: feat.apply(p, pts)
+    papply = lambda p, pts: prop.apply(p, pts)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        k1, k2 = jax.random.split(rng)
+        origins = jax.random.uniform(k1, (rays, 3), minval=-1.0, maxval=1.0)
+        dirs = jax.random.normal(k2, (rays, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+        def loss_fn(p):
+            out = render_rays_prop(
+                papply, napply, fapply, p["prop"], p["nerf"], p["feat"],
+                origins, dirs, k2, rcfg, train=True, with_features=True,
+            )
+            return (jnp.mean(out["rgb"] ** 2) + out["prop_loss"]
+                    + 1e-3 * jnp.mean(out["feature"] ** 2))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, jax.random.fold_in(rng, 1))
+    float(loss)
+    log(f"field step compile+first: {time.time()-t0:.1f}s")
+    times = []
+    for r in range(reps):
+        t0 = time.time()
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.fold_in(rng, 100 + r))
+        float(loss)
+        times.append(time.time() - t0)
+    step_ms = float(np.median(times)) * 1e3
+    log(f"field step: {step_ms:.1f} ms @ {rays} rays")
+    return query_ms, step_ms
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes, CPU-safe")
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--skip-mpm", action="store_true")
+    ap.add_argument("--skip-field", action="store_true")
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
@@ -141,6 +236,8 @@ def main():
         mpm_particles = args.particles
         unet_rate = bench_unet(batch=args.batch, iters=10)
         mpm_rate = None if args.skip_mpm else bench_mpm(mpm_particles, 100, 5)
+
+    field_ms = None if args.skip_field else bench_field(args.quick)
 
     if mpm_rate is not None:
         log(f"aux: mpm_substeps_per_s={mpm_rate:.1f}")
@@ -158,6 +255,9 @@ def main():
     if mpm_rate is not None:
         out["aux_mpm_substeps_per_sec"] = round(float(mpm_rate), 1)
         out["aux_mpm_particles"] = mpm_particles
+    if field_ms is not None:
+        out["aux_voxel_query_ms"] = round(field_ms[0], 1)
+        out["aux_field_step_ms"] = round(field_ms[1], 1)
     print(json.dumps(out))
 
 
