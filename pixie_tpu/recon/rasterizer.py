@@ -261,7 +261,6 @@ def _tile_gather_fwd(data, gidx):
 
 def _tile_gather_bwd(res, ct):
     gidx, n = res
-    t, c = gidx.shape
     f = ct.shape[-1]
     flat_idx = gidx.reshape(-1)
     flat_ct = ct.reshape(-1, f)
@@ -297,18 +296,29 @@ _tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "tile", "tile_cap", "max_tiles_side", "chunk",
-                     "use_pallas_blend"),
+                     "use_pallas_blend", "stream_cap"),
 )
 def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
                     scaling_modifier=1.0, tile: int = 16, tile_cap: int = 512,
                     max_tiles_side: int = 6, chunk: int = 128,
-                    mean2d_offset=None, use_pallas_blend: bool | None = None):
+                    mean2d_offset=None, use_pallas_blend: bool | None = None,
+                    stream_cap: int | None = 0):
     """Tile-culled differentiable rasterization (the reference's tile
     pipeline, rasterizer_impl.cu:70-116, as dense XLA).
 
     Returns (image (H,W,3), alpha (H,W)).  H and W must be multiples of
     ``tile``.
-    """
+
+    ``stream_cap`` selects the candidate-stream blend path
+    (ops/gs_stream.py): per-tile splat lists live in ONE depth-sorted
+    stream of at most ``stream_cap`` rows (chunk-aligned per tile) that
+    the kernel windows by scalar-prefetch index maps — O(stream) narrow
+    gathers instead of O(T * tile_cap) slot-row gathers (the 78 ms
+    hotspot at 800^2/100k, docs/DESIGN.md).  ``0`` (default) picks
+    4 * N rounded up; ``None`` disables streaming and uses the dense
+    (T, tile_cap) slot-table path.  Tiles whose chunk lists would
+    overflow the stream render empty (same spirit as the tile_cap
+    truncation; size the cap generously)."""
     assert cam.height % tile == 0 and cam.width % tile == 0
     assert tile_cap % chunk == 0, "tile_cap must be a multiple of chunk"
     if use_pallas_blend is None:
@@ -379,6 +389,67 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * n
     starts = jnp.searchsorted(skey, bounds[:-1], side="left")
     ends = jnp.searchsorted(skey, bounds[1:], side="left")
+
+    feat = jnp.concatenate(
+        [means2d, conic, rgb, opacity[:, None]], axis=-1
+    )  # (N, 9)
+
+    from pixie_tpu.ops.gs_stream import CH as _STREAM_CH  # noqa: PLC0415
+
+    if (stream_cap is not None and use_pallas_blend and tile == 16
+            and tile_cap % _STREAM_CH == 0
+            and 1 <= tile_cap // _STREAM_CH <= 9):
+        from pixie_tpu.ops.gs_stream import (  # noqa: PLC0415
+            CH, ROWS_CARR, ROWS_IN, blend_stream)
+
+        if stream_cap == 0:
+            # 4N candidate rows + one chunk per tile of alignment slack
+            stream_cap = (-(-4 * n // CH) + n_tiles) * CH
+        assert stream_cap % CH == 0
+        nc_max = tile_cap // CH
+        assert 1 <= nc_max <= ROWS_CARR + 1
+        n_blocks = stream_cap // CH
+
+        raw = ends - starts
+        count = jnp.minimum(raw, tile_cap)
+        nch_want = (count + CH - 1) // CH
+        cum = jnp.cumsum(nch_want)
+        fits = cum <= n_blocks          # prefix property: cum is monotone
+        nch = jnp.where(fits, nch_want, 0).astype(jnp.int32)
+        count = jnp.where(fits, count, 0).astype(jnp.int32)
+        ps_blocks = jnp.minimum(cum - nch_want, n_blocks).astype(jnp.int32)
+
+        # block -> owning tile, via a tiny (T-update) scatter + cumsum;
+        # per-STREAM-ROW indices then come from a block-level gather that
+        # is ~CH times smaller than the row count
+        ind = jnp.zeros((n_blocks + 1,), jnp.int32).at[ps_blocks].add(
+            1, mode="drop")
+        t_of_block = jnp.cumsum(ind[:n_blocks]) - 1
+        delta = starts - ps_blocks * CH                 # (T,) row offset
+        src = (
+            jnp.arange(stream_cap, dtype=jnp.int32)
+            + jnp.repeat(jnp.take(delta, jnp.clip(t_of_block, 0, None)), CH)
+        )
+        src = jnp.clip(src, 0, skey.shape[0] - 1)
+        grank_pad = (jnp.take(skey, src) % n).astype(jnp.int32)
+
+        feat_r = _tile_gather(feat, perm)                # depth-ordered rows
+        stream9 = _tile_gather(feat_r, grank_pad)        # (B, 9)
+        g16s = jnp.pad(stream9, ((0, 0), (0, ROWS_IN - 9))).T
+        interp = jax.default_backend() != "tpu"
+        out, _carr = blend_stream(
+            g16s, ps_blocks, nch, count, tx_n, n_tiles, nc_max, interp)
+        color = jnp.moveaxis(out[:, :3, :], 1, -1).reshape(
+            n_tiles, tile, tile, 3)
+        trans = out[:, 3, :].reshape(n_tiles, tile, tile)
+        color = color + bg_color * trans[..., None]
+        img = color.reshape(ty_n, tx_n, tile, tile, 3).swapaxes(
+            1, 2).reshape(cam.height, cam.width, 3)
+        alpha_img = (1.0 - trans).reshape(
+            ty_n, tx_n, tile, tile).swapaxes(1, 2).reshape(
+            cam.height, cam.width)
+        return img, alpha_img
+
     slots = starts[:, None] + jnp.arange(tile_cap)[None, :]      # (T, C)
     slot_ok = slots < ends[:, None]
     grank = (
@@ -388,9 +459,6 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
     gidx = jnp.where(slot_ok, jnp.take(perm, grank), 0)
 
     # gather per-tile gaussian rows (custom-VJP gather: scatter-free bwd)
-    feat = jnp.concatenate(
-        [means2d, conic, rgb, opacity[:, None]], axis=-1
-    )  # (N, 9)
     g = _tile_gather(feat, gidx)                                  # (T, C, 9)
     g = jnp.where(slot_ok[..., None], g, 0.0)
 

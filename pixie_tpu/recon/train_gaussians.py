@@ -16,6 +16,7 @@ retain_grad.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import logging
 import time
@@ -57,22 +58,44 @@ class GSTrainConfig:
     max_tiles_side: int = 6
 
 
-def ssim(img1, img2, window: int = 11, sigma: float = 1.5):
-    """Gaussian-windowed SSIM (utils/loss_utils.py ssim)."""
-    half = window // 2
-    x = jnp.arange(window, dtype=jnp.float32) - half
-    g = jnp.exp(-(x**2) / (2 * sigma**2))
-    g = g / g.sum()
-    kern = g[:, None] * g[None, :]
+@functools.lru_cache(maxsize=8)
+def _gauss_band(n: int, window: int, sigma: float):
+    """(n, n) banded Gaussian-blur matrix == 'SAME' zero-padded 1-D conv.
 
-    def filt(img):
-        # depthwise 2D convolution per channel
-        out = jax.lax.conv_general_dilated(
-            img.transpose(2, 0, 1)[:, None],
-            kern[None, None],
-            (1, 1), "SAME",
-        )
-        return out[:, 0].transpose(1, 2, 0)
+    The 2D Gaussian window is an outer product, so the depthwise conv
+    factors exactly into Y = A_h @ X @ A_w^T.  XLA lowers the [3,1,H,W]
+    depthwise conv through a windowed path that costs ~20 ms/call at 800^2
+    on v5e (161 ms/step across fwd+bwd — the single largest cost of 3DGS
+    training, docs/DESIGN.md); as banded matmuls the whole SSIM runs on
+    the MXU in ~1 ms.  Built in numpy at trace time: a traced gather from
+    the 11-tap table would serialize (~17 ns/elem)."""
+    half = window // 2
+    x = np.arange(window, dtype=np.float64) - half
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    d = np.arange(n)[None, :] - np.arange(n)[:, None] + half
+    a = np.where((d >= 0) & (d < window), g[np.clip(d, 0, window - 1)], 0.0)
+    return jnp.asarray(a.astype(np.float32))
+
+
+def ssim(img1, img2, window: int = 11, sigma: float = 1.5):
+    """Gaussian-windowed SSIM (utils/loss_utils.py ssim); the separable
+    window is applied as two banded MXU matmuls (see _gauss_band)."""
+    h, w = img1.shape[0], img1.shape[1]
+    ah = _gauss_band(h, window, sigma)
+    aw = _gauss_band(w, window, sigma)
+    # channels-first so W rides the lane axis in both contractions
+    img1 = jnp.moveaxis(img1, -1, 0)
+    img2 = jnp.moveaxis(img2, -1, 0)
+
+    def filt(x):
+        # (C, H, W): blur rows then columns on the MXU; A is symmetric.
+        # HIGHEST precision: default bf16 dots visibly shift the SSIM loss
+        # (0.5607 -> 0.5584 at 800^2 init); fp32 passes cost only a few ms.
+        t = jnp.einsum("ij,cjw->ciw", ah, x,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("ciw,wk->cik", t, aw,
+                          precision=jax.lax.Precision.HIGHEST)
 
     mu1, mu2 = filt(img1), filt(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
