@@ -31,7 +31,9 @@ import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pixie_tpu.ops import tiling
 from pixie_tpu.sim import bc as bc_mod
+from pixie_tpu.sim import solver_fast
 from pixie_tpu.sim.solver import compute_stress_from_F_trial, g2p, grid_update, p2g
 from pixie_tpu.sim.types import MPMConfig, MPMState
 
@@ -108,3 +110,127 @@ def simulate_substeps_sharded(
         return st
 
     return run(state)
+
+
+# ---------------------------------------------------------------------------
+# Fast-path (Pallas kernel) variant: the production tile-sorted substep of
+# solver_fast.py under shard_map.  Particle BLOCKS (PBLK-slot groups of the
+# padded tile-sorted layout) are split contiguously across the mesh; each
+# shard runs the Pallas P2G/G2P kernels on its local blocks and the blocked
+# momentum grid is psum'd once per substep (solver_fast.p2g2p_fast_soa
+# masks windows of tiles its shard does not cover).
+# ---------------------------------------------------------------------------
+
+
+def pad_layout_for_mesh(layout: dict, n_dev: int) -> dict:
+    """Extend a tiling.build_padded_layout dict so n_blocks % n_dev == 0.
+
+    Filler blocks are all-padding (occupied=0 -> zero mass/vol, zero
+    contribution) and point at the last tile, exactly like the builder's own
+    bucket filler (ops/tiling.py build_padded_layout)."""
+    nb = int(layout["n_blocks"])
+    pad = (-nb) % n_dev
+    if pad == 0:
+        return layout
+    t3m1 = int(np.asarray(layout["block_tile"]).max())  # last tile id
+    out = dict(layout)
+    out["block_tile"] = jnp.concatenate(
+        [jnp.asarray(layout["block_tile"]),
+         jnp.full((pad,), t3m1, jnp.int32)])
+    out["tile_coords"] = jnp.concatenate(
+        [jnp.asarray(layout["tile_coords"]),
+         jnp.tile(jnp.asarray(layout["tile_coords"])[-1:], (pad, 1))])
+    out["perm"] = jnp.concatenate(
+        [jnp.asarray(layout["perm"]),
+         jnp.zeros((pad * tiling.PBLK,), jnp.int32)])
+    out["occupied"] = jnp.concatenate(
+        [jnp.asarray(layout["occupied"]),
+         jnp.zeros((pad * tiling.PBLK,), jnp.float32)])
+    out["n_blocks"] = nb + pad
+    return out
+
+
+def _soa_spec(sd: dict, axes: tuple) -> dict:
+    """Partition specs for an SoA state dict: N rides the LAST axis of every
+    entry ((N,) scalars, (3,N)/(6,N)/(9,N) rows), sharded over ``axes``."""
+    return {
+        k: P(*([None] * (v.ndim - 1) + [axes]))
+        for k, v in sd.items()
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "n_substeps", "interpret"),
+)
+def simulate_substeps_fast_sharded(
+    state_padded: MPMState, block_tile, tile_coords, occupied,
+    cfg: MPMConfig, bcs, time0, dt, n_substeps: int, mesh: Mesh,
+    interpret: bool = False,
+) -> MPMState:
+    """A frame of Pallas fast-path substeps with particle blocks sharded
+    over the mesh (the solver_fast.simulate_substeps_fast analog; one
+    (t,t,t,4,TILE^3) fp32 psum per substep).
+
+    ``state_padded``/layout args must come from tiling.build_padded_layout
+    + pad_state_to_layout, with n_blocks a multiple of the mesh size
+    (pad_layout_for_mesh)."""
+    axes = tuple(mesh.axis_names)
+    part = P(axes)
+
+    sd0 = solver_fast.state_to_soa(state_padded)
+    sd_specs = _soa_spec(sd0, axes)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(sd_specs, part, P(axes, None)),
+        out_specs=sd_specs,
+        check_rep=False,
+    )
+    def run(sd: dict, bt, tc) -> dict:
+        layout = {"block_tile": bt, "tile_coords": tc}
+
+        def body(sd, step):
+            t_now = time0 + step.astype(jnp.float32) * dt
+            sd = solver_fast.p2g2p_fast_soa(
+                sd, layout, cfg, bcs, t_now, dt,
+                interpret=interpret, psum_axes=axes,
+            )
+            return sd, None
+
+        sd, _ = jax.lax.scan(body, sd, jnp.arange(n_substeps))
+        return sd
+
+    sd = run(sd0, jnp.asarray(block_tile), jnp.asarray(tile_coords))
+    return solver_fast.soa_to_state(sd, state_padded)
+
+
+def rollout_fast_sharded(state: MPMState, cfg: MPMConfig, mesh: Mesh,
+                         bcs=(), n_substeps: int = 8, dt: float = 1e-4,
+                         time0: float = 0.0,
+                         interpret: bool | None = None) -> MPMState:
+    """Convenience wrapper: build the tile-sorted layout, pad blocks to the
+    mesh, shard, run one frame of substeps, and unpad back to the original
+    particle order."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    layout = tiling.build_padded_layout(
+        np.asarray(state.x), cfg.n_grid, cfg.inv_dx)
+    layout = pad_layout_for_mesh(layout, n_dev)
+    padded = solver_fast.pad_state_to_layout(state, layout)
+
+    part = NamedSharding(mesh, _particle_spec(mesh))
+
+    def put(a):
+        if a.ndim >= 1 and a.shape[0] == padded.x.shape[0]:
+            return jax.device_put(a, part)
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    padded = jax.tree.map(put, padded)
+    out = simulate_substeps_fast_sharded(
+        padded, layout["block_tile"], layout["tile_coords"],
+        layout["occupied"], cfg, tuple(bcs), jnp.float32(time0),
+        jnp.float32(dt), n_substeps, mesh, interpret=interpret,
+    )
+    return solver_fast.unpad_state(out, layout, state.n_particles)

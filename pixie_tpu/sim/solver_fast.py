@@ -186,8 +186,12 @@ def _apply_particle_bc_soa(b, time, dt, sd: dict) -> dict:
 
 
 def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
-                   interpret: bool = False) -> dict:
-    """One substep on an SoA state dict (semantics of solver.p2g2p)."""
+                   interpret: bool = False, psum_axes=None) -> dict:
+    """One substep on an SoA state dict (semantics of solver.p2g2p).
+
+    ``psum_axes``: when run under shard_map with particles sharded, the
+    local blocked P2G grid is all-reduced over these mesh axes before the
+    grid update (the one collective per substep; solver_dist.py)."""
     t = tiling.n_tiles(cfg.n_grid)
     t3 = t * t * t
     tile_rows = [
@@ -224,6 +228,14 @@ def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
 
     windows = transfer.p2g_tiled_t(pdata, layout["block_tile"], t3,
                                    interpret=interpret)
+    if psum_axes:
+        # Under shard_map a shard's local blocks need not cover every tile,
+        # and p2g_tiled_t leaves windows of uncovered tiles uninitialized
+        # (only the first program of a tile zeroes its block).  Select them
+        # to zero before they enter the psum.  block_tile is loop-invariant
+        # so XLA hoists this tiny scatter out of the substep scan.
+        covered = jnp.zeros((t3,), jnp.float32).at[layout["block_tile"]].set(1.0)
+        windows = jnp.where(covered[:, None, None] > 0, windows, 0.0)
     if MM_FOLD:
         # matmul-fold path: combine/extract as constant-matrix MXU dots in
         # the kernel-native layout (tiling.combine_windows_mm docstring)
@@ -236,6 +248,9 @@ def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
         )
         grid_blocked = tiling.combine_windows_blocked(
             win_blocked, transfer.N_GRID_CH)
+
+    if psum_axes:
+        grid_blocked = jax.lax.psum(grid_blocked, psum_axes)
 
     grid_cl = jnp.moveaxis(grid_blocked, 3, -1)  # channel-last (2MB, cheap)
     grid_v = grid_momentum_to_velocity(grid_cl, cfg, dt)

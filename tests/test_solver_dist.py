@@ -89,6 +89,51 @@ class TestShardedSolver:
         assert (diff <= 1e-6).mean() > 0.99
         assert diff.max() < 5e-2
 
+    def test_fast_path_matches_single_device(self):
+        """The production Pallas fast path under shard_map (verdict r2 #7):
+        sharded tile-sorted substeps == single-device FastMPMSolver."""
+        from pixie_tpu.sim.solver_dist import rollout_fast_sharded
+        from pixie_tpu.sim.solver_fast import FastMPMSolver
+
+        n = 20_000
+        cfg = MPMConfig(n_grid=32, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(0,))
+        solo = FastMPMSolver(_state(n, seed=4), cfg, bcs=(), interpret=True)
+        solo.step_frame(12, 1e-4)
+        ref = solo.state
+
+        mesh = get_mesh(dp=4, sp=2)
+        out = rollout_fast_sharded(_state(n, seed=4), cfg, mesh,
+                                   n_substeps=12, dt=1e-4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.F), np.asarray(ref.F),
+                                   atol=1e-6)
+
+    def test_fast_path_with_grid_bcs(self):
+        """Fast path sharded with a surface collider (grid BCs replicated)."""
+        from pixie_tpu.sim.solver_dist import rollout_fast_sharded
+        from pixie_tpu.sim.solver_fast import FastMPMSolver
+
+        n = 6000
+        cfg = MPMConfig(n_grid=24, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(0,))
+        bcs = (make_surface_collider((1.0, 1.0, 0.6), (0.0, 0.0, 1.0),
+                                     surface="sticky"),)
+        solo = FastMPMSolver(_state(n, seed=5), cfg, bcs=bcs, interpret=True)
+        solo.step_frame(10, 1e-4)
+        ref = solo.state
+
+        mesh = get_mesh(dp=8, sp=1)
+        out = rollout_fast_sharded(_state(n, seed=5), cfg, mesh, bcs=bcs,
+                                   n_substeps=10, dt=1e-4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                                   atol=1e-4)
+
     def test_output_stays_sharded(self):
         """The result keeps the particle sharding (no implicit gather)."""
         mesh = get_mesh(dp=8, sp=1)
