@@ -159,9 +159,14 @@ class MXUHashEncoding(nn.Module):
         # training batch sizes, recomputing them is a few cheap VPU passes.
         enc = jax.checkpoint(lambda p, t: encode_points(p, t, cfg))
 
-        if n <= self.chunk:
+        if n < self.chunk:
             out = enc(pts, table)
         else:
+            # chunk boundary is deliberately n < chunk: at n == chunk the
+            # direct path lets the XLA fuser merge the per-level one-hot
+            # stages into one (B, ~90k) buffer (23 GB at B=64k — observed
+            # AOT OOM); inside the lax.map scan region that fusion never
+            # forms and the chunked path runs at the measured-fast rate.
             pad = (-n) % self.chunk
             padded = jnp.pad(pts, ((0, pad), (0, 0)))
             chunks = padded.reshape(-1, self.chunk, 3)

@@ -185,6 +185,41 @@ def _apply_particle_bc_soa(b, time, dt, sd: dict) -> dict:
     return {**sd, "v": soa.pack(v)}
 
 
+def grid_stage(windows, cfg: MPMConfig, bcs, time, dt, psum_axes=None):
+    """Combine per-tile P2G momentum windows into the blocked grid, run the
+    grid update (normalize, gravity, BCs, domain mask), and re-extract
+    per-tile G2P velocity windows.  The XLA stage between transfer kernels."""
+    t = tiling.n_tiles(cfg.n_grid)
+    t3 = t * t * t
+    if MM_FOLD:
+        # matmul-fold path: combine/extract as constant-matrix MXU dots in
+        # the kernel-native layout (tiling.combine_windows_mm docstring)
+        grid_blocked = tiling.combine_windows_mm(windows, t, transfer.N_GRID_CH)
+    else:
+        # blocked-grid path: windows and grid stay tile-blocked, so combine
+        # and extract are pure static slicing (no interleaving transposes)
+        win_blocked = windows.reshape(
+            t, t, t, transfer.N_GRID_CH, WIN_S, WIN_S, WIN_S
+        )
+        grid_blocked = tiling.combine_windows_blocked(
+            win_blocked, transfer.N_GRID_CH)
+
+    if psum_axes:
+        grid_blocked = jax.lax.psum(grid_blocked, psum_axes)
+
+    grid_cl = jnp.moveaxis(grid_blocked, 3, -1)  # channel-last (2MB, cheap)
+    grid_v = grid_momentum_to_velocity(grid_cl, cfg, dt)
+    if any(isinstance(b, bc_mod.GRID_BC_TYPES) for b in bcs):
+        grid_v = apply_grid_bcs(grid_v, _blocked_node_x(cfg), cfg, dt, time, bcs)
+    grid_v = grid_v * _blocked_valid_mask(cfg)[..., None]
+
+    if MM_FOLD:
+        return tiling.extract_windows_mm(jnp.moveaxis(grid_v, -1, 3))
+    return tiling.extract_windows_blocked(
+        jnp.moveaxis(grid_v, -1, 3)
+    ).reshape(t3, transfer.N_VEL_CH * WIN_S, WIN_S * WIN_S)
+
+
 def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
                    interpret: bool = False, psum_axes=None) -> dict:
     """One substep on an SoA state dict (semantics of solver.p2g2p).
@@ -236,34 +271,7 @@ def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
         # so XLA hoists this tiny scatter out of the substep scan.
         covered = jnp.zeros((t3,), jnp.float32).at[layout["block_tile"]].set(1.0)
         windows = jnp.where(covered[:, None, None] > 0, windows, 0.0)
-    if MM_FOLD:
-        # matmul-fold path: combine/extract as constant-matrix MXU dots in
-        # the kernel-native layout (tiling.combine_windows_mm docstring)
-        grid_blocked = tiling.combine_windows_mm(windows, t, transfer.N_GRID_CH)
-    else:
-        # blocked-grid path: windows and grid stay tile-blocked, so combine
-        # and extract are pure static slicing (no interleaving transposes)
-        win_blocked = windows.reshape(
-            t, t, t, transfer.N_GRID_CH, WIN_S, WIN_S, WIN_S
-        )
-        grid_blocked = tiling.combine_windows_blocked(
-            win_blocked, transfer.N_GRID_CH)
-
-    if psum_axes:
-        grid_blocked = jax.lax.psum(grid_blocked, psum_axes)
-
-    grid_cl = jnp.moveaxis(grid_blocked, 3, -1)  # channel-last (2MB, cheap)
-    grid_v = grid_momentum_to_velocity(grid_cl, cfg, dt)
-    if any(isinstance(b, bc_mod.GRID_BC_TYPES) for b in bcs):
-        grid_v = apply_grid_bcs(grid_v, _blocked_node_x(cfg), cfg, dt, time, bcs)
-    grid_v = grid_v * _blocked_valid_mask(cfg)[..., None]
-
-    if MM_FOLD:
-        g2p_wins = tiling.extract_windows_mm(jnp.moveaxis(grid_v, -1, 3))
-    else:
-        g2p_wins = tiling.extract_windows_blocked(
-            jnp.moveaxis(grid_v, -1, 3)
-        ).reshape(t3, transfer.N_VEL_CH * WIN_S, WIN_S * WIN_S)
+    g2p_wins = grid_stage(windows, cfg, bcs, time, dt, psum_axes=psum_axes)
     out = transfer.g2p_tiled_t(pdata, g2p_wins, layout["block_tile"],
                                interpret=interpret)
 
@@ -300,6 +308,132 @@ def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
         out_sd["cov"] = soa.pack(
             soa.where_rows(is_active, cov_rows, c6))
     return out_sd
+
+
+def _p2g_windows(sd: dict, layout, cfg: MPMConfig, dt, t3,
+                 interpret: bool):
+    """Stress-applied P2G splat of an SoA state (the fused frame's prologue;
+    returns (sd_with_stress_applied, windows))."""
+    tile_rows = [
+        jnp.repeat(layout["tile_coords"][:, a], PBLK) for a in range(3)
+    ]
+    F_rows, stress_rows, ys, mu, lam = compute_stress_rows(
+        soa.unpack(sd["F_trial"]), soa.unpack(sd["F"]),
+        soa.unpack(sd["stress"]), sd["material"], sd["mu"], sd["lam"],
+        sd["yield_stress"], sd["bulk"], sd["selection"], cfg, dt,
+    )
+    C = soa.unpack(sd["C"])
+    if cfg.rpic_damping < -0.001:
+        C = [jnp.zeros_like(c) for c in C]
+    elif cfg.rpic_damping != 0.0:
+        Ct = soa.transpose(C)
+        C = [(1.0 - cfg.rpic_damping) * c + cfg.rpic_damping / 2.0 * (c - ct)
+             for c, ct in zip(C, Ct)]
+    active_f = (sd["selection"] == 0).astype(jnp.float32)
+    pdata = transfer.build_pdata_rows(
+        soa.unpack(sd["x"]), soa.unpack(sd["v"]), C, stress_rows,
+        sd["mass"] * active_f, sd["vol"] * active_f, tile_rows, dt,
+        cfg.dx, cfg.inv_dx,
+    )
+    windows = transfer.p2g_tiled_t(pdata, layout["block_tile"], t3,
+                                   interpret=interpret)
+    sd = dict(sd)
+    sd["F"] = soa.pack(F_rows)
+    sd["stress"] = soa.pack(stress_rows)
+    sd["yield_stress"] = ys
+    sd["mu"] = mu
+    sd["lam"] = lam
+    return sd, windows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_substeps", "n_blocks", "dt", "interpret"),
+)
+def simulate_substeps_fused(state_padded: MPMState, block_tile, tile_coords,
+                            occupied, cfg: MPMConfig, bcs, time0, dt: float,
+                            n_substeps: int, n_blocks: int,
+                            interpret: bool = False) -> MPMState:
+    """A frame of substeps with ONE fused Pallas launch per substep
+    (ops/fused_substep.py: G2P + advect + constitutive + P2G in-kernel;
+    grid stage as XLA between launches).  Semantics of
+    simulate_substeps_fast for configs WITHOUT particle BCs (caller
+    dispatches; tests/test_fast_solver.py asserts parity)."""
+    from pixie_tpu.ops import fused_substep as fs
+
+    assert not any(isinstance(b, bc_mod.PARTICLE_BC_TYPES) for b in bcs), \
+        "fused path does not support particle BCs (use the two-kernel path)"
+    t = tiling.n_tiles(cfg.n_grid)
+    t3 = t * t * t
+    layout = {
+        "block_tile": block_tile,
+        "tile_coords": tile_coords,
+        "occupied": occupied,
+    }
+
+    sd = state_to_soa(state_padded)
+    # prologue: stress(0) + P2G(0)
+    sd, windows = _p2g_windows(sd, layout, cfg, dt, t3, interpret)
+    dyn = fs.pack_dyn(sd)
+    stat = fs.pack_static(sd)
+    bt = jnp.asarray(block_tile)
+    tc = jnp.asarray(tile_coords)
+
+    def body(carry, step):
+        dyn, windows = carry
+        t_now = time0 + step.astype(jnp.float32) * dt
+        wins_v = grid_stage(windows, cfg, bcs, t_now, dt)
+        dyn, windows = fs.fused_substep(
+            dyn, stat, wins_v, bt, tc, cfg, dt, t3, interpret=interpret)
+        return (dyn, windows), None
+
+    if n_substeps > 1:
+        (dyn, windows), _ = jax.lax.scan(
+            body, (dyn, windows), jnp.arange(n_substeps - 1))
+
+    # epilogue: grid(S-1) + G2P(S-1) + advect
+    t_last = time0 + jnp.float32(n_substeps - 1) * dt
+    wins_v = grid_stage(windows, cfg, bcs, t_last, dt)
+    sd = fs.unpack_dyn(dyn, sd)
+    tile_rows = [jnp.repeat(tc[:, a], PBLK) for a in range(3)]
+    x_rows = soa.unpack(sd["x"])
+    v_rows = soa.unpack(sd["v"])
+    active_f = (sd["selection"] == 0).astype(jnp.float32)
+    pdata = transfer.build_pdata_rows(
+        x_rows, v_rows, soa.unpack(sd["C"]), soa.unpack(sd["stress"]),
+        sd["mass"] * active_f, sd["vol"] * active_f, tile_rows, dt,
+        cfg.dx, cfg.inv_dx,
+    )
+    out = transfer.g2p_tiled_t(pdata, wins_v, bt, interpret=interpret)
+
+    new_v = [out[c * 7] for c in range(3)]
+    sC = cfg.inv_dx * 4.0
+    new_C = [out[c * 7 + 1 + a] * sC for c in range(3) for a in range(3)]
+    grad_v = [out[c * 7 + 4 + a] * cfg.inv_dx
+              for c in range(3) for a in range(3)]
+    F_rows = soa.unpack(sd["F"])
+    x_new = [x_rows[a] + dt * new_v[a] for a in range(3)]
+    eye = soa.identity_rows(grad_v[0])
+    a_rows = [e + g * dt for e, g in zip(eye, grad_v)]
+    F_trial_new = soa.mm(a_rows, F_rows)
+
+    is_active = sd["selection"] == 0
+    sd["v"] = soa.pack(soa.where_rows(is_active, new_v, v_rows))
+    sd["x"] = soa.pack(soa.where_rows(is_active, x_new, x_rows))
+    sd["C"] = soa.pack(soa.where_rows(is_active, new_C, soa.unpack(sd["C"])))
+    sd["F_trial"] = soa.pack(
+        soa.where_rows(is_active, F_trial_new, soa.unpack(sd["F_trial"])))
+    if cfg.update_cov_with_F:
+        c6 = soa.unpack(sd["cov"])
+        cm = [c6[0], c6[1], c6[2], c6[1], c6[3], c6[4], c6[2], c6[4], c6[5]]
+        gc = soa.mm(grad_v, cm)
+        gct = soa.transpose(gc)
+        cov_new = [c + dt * (g + gt) for c, g, gt in zip(cm, gc, gct)]
+        sd["cov"] = soa.pack(soa.where_rows(
+            is_active,
+            [cov_new[0], cov_new[1], cov_new[2], cov_new[4], cov_new[5],
+             cov_new[8]], c6))
+    return soa_to_state(sd, state_padded)
 
 
 def p2g2p_fast(state: MPMState, layout, cfg: MPMConfig, bcs, time, dt,
@@ -388,12 +522,25 @@ class FastMPMSolver:
                 )
             self._resort()
         lay = self._layout
-        self._padded = simulate_substeps_fast(
-            self._padded, lay["block_tile"], lay["tile_coords"],
-            lay["occupied"], self.cfg, self.bcs, jnp.float32(self.time),
-            jnp.float32(dt), n_substeps, lay["n_blocks"],
-            interpret=self.interpret,
+        use_fused = (
+            os.environ.get("PIXIE_FUSED", "1") == "1"
+            and not any(isinstance(b, bc_mod.PARTICLE_BC_TYPES)
+                        for b in self.bcs)
         )
+        if use_fused:
+            self._padded = simulate_substeps_fused(
+                self._padded, lay["block_tile"], lay["tile_coords"],
+                lay["occupied"], self.cfg, self.bcs, jnp.float32(self.time),
+                float(dt), n_substeps, lay["n_blocks"],
+                interpret=self.interpret,
+            )
+        else:
+            self._padded = simulate_substeps_fast(
+                self._padded, lay["block_tile"], lay["tile_coords"],
+                lay["occupied"], self.cfg, self.bcs, jnp.float32(self.time),
+                jnp.float32(dt), n_substeps, lay["n_blocks"],
+                interpret=self.interpret,
+            )
         self.time += n_substeps * dt
         self._compact_dirty = True
 

@@ -114,7 +114,11 @@ def extract_feature_voxel_grid(
     output_path: str | Path,
     bounds=((-0.5, 0.5), (-0.5, 0.5), (-0.5, 0.5)),
     voxel_size: float = 1.0 / 64,
-    batch_size: int = 4096,
+    # the reference queries 4096 points/batch (config/voxelization
+    # default.yaml:14); on TPU that shape is 13x slower than large batches
+    # (per-call overhead + bad MXU shapes, docs/DESIGN.md "Field stage") —
+    # default to 64k points per call
+    batch_size: int = 65536,
     alpha_weighted: bool = True,
     alpha_threshold_for_mask: float = 0.01,
     gray_threshold_for_mask: float = 0.05,

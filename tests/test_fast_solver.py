@@ -179,3 +179,64 @@ class TestMultiMaterial:
         assert np.isfinite(ys).all()
         # falls under gravity
         assert xs[:, 2].mean() < x[:, 2].mean()
+
+
+class TestFusedSubstep:
+    """The one-launch-per-substep fused kernel (ops/fused_substep.py) must
+    track the two-kernel path.  Trajectories (x, v, F, F_trial, C, cov)
+    agree tightly; STORED stress is compared against the float32 ULP noise
+    floor — with F near identity, stress = E*(F - I) amplifies last-ulp
+    rounding differences between the in-kernel (VPU) and XLA advect by
+    ~2*mu*eps (~1.7e-2 at E=2e5), which is physically invisible (the
+    v agreement bounds the dynamic effect)."""
+
+    def _run(self, fused: bool, material: int, cov: bool, substeps=40):
+        import os
+
+        from pixie_tpu.sim.bc import make_surface_collider
+
+        rng = np.random.default_rng(11)
+        n = 5000
+        x = rng.uniform(0.7, 1.3, (n, 3)).astype(np.float32)
+        st = finalize_mu_lam(make_state(
+            x, np.full(n, 1e-6, np.float32), density=300.0, E=2e5, nu=0.35,
+            material=material))
+        if cov:
+            c = rng.normal(size=(n, 6)).astype(np.float32) * 1e-4
+            c[:, [0, 3, 5]] += 1e-3
+            st = st.replace(cov=jnp.asarray(c))
+        cfg = MPMConfig(n_grid=32, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(material,), update_cov_with_F=cov)
+        bcs = (make_surface_collider((1.0, 1.0, 0.6), (0.0, 0.0, 1.0),
+                                     surface="sticky"),)
+        old = os.environ.get("PIXIE_FUSED")
+        os.environ["PIXIE_FUSED"] = "1" if fused else "0"
+        try:
+            solver = FastMPMSolver(st, cfg, bcs=bcs, interpret=INTERPRET)
+            solver.step_frame(substeps, 1e-4)
+            return solver.state
+        finally:
+            if old is None:
+                os.environ.pop("PIXIE_FUSED", None)
+            else:
+                os.environ["PIXIE_FUSED"] = old
+
+    @pytest.mark.parametrize("material,cov", [(0, False), (2, True), (5, False)])
+    def test_matches_two_kernel_path(self, material, cov):
+        ref = self._run(False, material, cov)
+        got = self._run(True, material, cov)
+        for f, tol in (("x", 1e-5), ("v", 1e-4), ("F", 1e-5),
+                       ("F_trial", 1e-5), ("C", 5e-3), ("cov", 1e-5)):
+            a, b = np.asarray(getattr(ref, f)), np.asarray(getattr(got, f))
+            np.testing.assert_allclose(b, a, atol=tol, err_msg=f)
+        # stress: ULP noise floor (see class docstring); bulk must agree
+        sa, sb = np.asarray(ref.stress), np.asarray(got.stress)
+        floor = 6 * 2e5 * 1.2e-7
+        assert (np.abs(sa - sb) <= floor).mean() > 0.9
+        assert np.abs(sa - sb).max() < 100 * floor
+
+    def test_cov_actually_updates(self):
+        got = self._run(True, 2, True, substeps=40)
+        init = np.tile(np.array([1e-3, 0, 0, 1e-3, 0, 1e-3], np.float32),
+                       (5000, 1))
+        assert np.abs(np.asarray(got.cov) - init).max() > 1e-6
