@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pixie_tpu.ops.tiling import PBLK, TILE, WIN, WIN_S
+from pixie_tpu.ops.tiling import ORIGIN, PAIRW, PBLK, TILE, U0_HI, WIN, WIN_S
 from pixie_tpu.ops.transfer import (
     N_GRID_CH,
     N_VEL_CH,
@@ -90,15 +90,17 @@ def pack_static(sd: dict) -> jnp.ndarray:
     return jnp.stack(rows, axis=0)
 
 
-def _axis_offsets(x, tc, inv_dx):
+def _axis_offsets(x, tc, inv_dx, axis):
     """Window-relative base + fractional offset for one axis (build_pdata
-    semantics, ops/transfer.py:70-92): u0 clipped into the 16-node window
-    (absorbs +/-1 cell drift between resorts)."""
+    semantics, ops/transfer.py:70-92): u0 clipped into the stored node
+    window (absorbs +/-1 cell drift between resorts).  Per-axis origin
+    scale: z sub-tile coordinates are in SLAB units (ops/tiling.py)."""
     gp = x * inv_dx
     base = jnp.floor(gp - 0.5)
     fx = gp - base
     u0 = jnp.clip(
-        base - (tc * TILE - 1).astype(jnp.float32), 0.0, float(WIN - 3)
+        base - (tc * ORIGIN[axis] - 1).astype(jnp.float32),
+        0.0, float(U0_HI[axis]),
     )
     return u0, fx
 
@@ -131,9 +133,9 @@ def _make_fused_kernel(cfg, dt: float, rpic: float, update_cov: bool):
         tc = [tc_ref[i, a].astype(jnp.float32) for a in range(3)]
 
         # ---- G2P(s): gather v / C / grad_v at x(s) ------------------------
-        u0x, fxx = _axis_offsets(x[0], tc[0], inv_dx)
-        u0y, fxy = _axis_offsets(x[1], tc[1], inv_dx)
-        u0z, fxz = _axis_offsets(x[2], tc[2], inv_dx)
+        u0x, fxx = _axis_offsets(x[0], tc[0], inv_dx, 0)
+        u0y, fxy = _axis_offsets(x[1], tc[1], inv_dx, 1)
+        u0z, fxz = _axis_offsets(x[2], tc[2], inv_dx, 2)
         x1, x2, x3 = _window_factors(u0x, fxx)
         p11, p21, p12, p31, p13 = _pairs_dispatch(u0y, fxy, u0z, fxz)
 
@@ -193,9 +195,9 @@ def _make_fused_kernel(cfg, dt: float, rpic: float, update_cov: bool):
         )
 
         # ---- P2G(s+1) at x(s+1) ------------------------------------------
-        u0x, fxx = _axis_offsets(x_out[0], tc[0], inv_dx)
-        u0y, fxy = _axis_offsets(x_out[1], tc[1], inv_dx)
-        u0z, fxz = _axis_offsets(x_out[2], tc[2], inv_dx)
+        u0x, fxx = _axis_offsets(x_out[0], tc[0], inv_dx, 0)
+        u0y, fxy = _axis_offsets(x_out[1], tc[1], inv_dx, 1)
+        u0z, fxz = _axis_offsets(x_out[2], tc[2], inv_dx, 2)
         x1, x2, x3 = _window_factors(u0x, fxx)
         p11, p21, p12, p31, p13 = _pairs_dispatch(u0y, fxy, u0z, fxz)
 
@@ -275,19 +277,19 @@ def fused_substep(dyn, stat, win_v, block_tile, tile_coords, cfg, dt: float,
             pl.BlockSpec((DYN_CH, PBLK), lambda i, tr, cr: (0, i)),
             pl.BlockSpec((STAT_CH, PBLK), lambda i, tr, cr: (0, i)),
             pl.BlockSpec(
-                (1, N_VEL_CH * WIN_S, WIN_S * WIN_S),
+                (1, N_VEL_CH * WIN_S, PAIRW),
                 lambda i, tr, cr: (tr[i], 0, 0),
             ),
         ],
         out_specs=[
             pl.BlockSpec((DYN_CH, PBLK), lambda i, tr, cr: (0, i)),
             pl.BlockSpec(
-                (1, N_GRID_CH * WIN_S, WIN_S * WIN_S),
+                (1, N_GRID_CH * WIN_S, PAIRW),
                 lambda i, tr, cr: (tr[i], 0, 0),
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N_GRID_CH * WIN_S, WIN_S * WIN_S), jnp.float32)
+            pltpu.VMEM((N_GRID_CH * WIN_S, PAIRW), jnp.float32)
         ],
     )
     return pl.pallas_call(
@@ -296,7 +298,7 @@ def fused_substep(dyn, stat, win_v, block_tile, tile_coords, cfg, dt: float,
         out_shape=[
             jax.ShapeDtypeStruct((DYN_CH, nb * PBLK), jnp.float32),
             jax.ShapeDtypeStruct(
-                (n_tiles_total, N_GRID_CH * WIN_S, WIN_S * WIN_S),
+                (n_tiles_total, N_GRID_CH * WIN_S, PAIRW),
                 jnp.float32,
             ),
         ],

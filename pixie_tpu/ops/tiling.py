@@ -45,6 +45,23 @@ assert 2 <= TILE <= WIN_S - 4, f"TILE={TILE} needs TILE+4 <= WIN_S=16"
 # better.  Env knob for re-sweeping on new targets.
 PBLK = int(os.environ.get("PIXIE_PBLK", "128"))
 
+# Finer z sub-tiling (PIXIE_SLAB=1): particles are additionally sorted into
+# SLAB-cell z-slabs within each tile, shrinking the kernels' (y,z) pair maps
+# from 16x16=256 to 16x8=128 columns.  The main MXU contractions drop from
+# ceil(K/128)*2 to ceil(K/128)*1 passes and the VPU pair construction halves,
+# at ~15-25% more blocks (per-sub-tile padding).  SLAB=4 is the only slabbed
+# size: 4 own cells + 2 stencil + 2 drift = exactly the 8 stored lanes.
+# Default SLAB=TILE reproduces the square-window layout bit-for-bit.
+SLAB = 4 if os.environ.get("PIXIE_SLAB", "0") == "1" else TILE
+NSLAB = TILE // SLAB          # z sub-tiles (slabs) per tile
+ZWIN_S = 8 if NSLAB > 1 else WIN_S   # stored z-window lanes (power of two)
+PAIRW = WIN_S * ZWIN_S        # kernel pair-map width (256 or 128)
+assert TILE % SLAB == 0 and SLAB + 4 <= ZWIN_S, (TILE, SLAB, ZWIN_S)
+# cells per sub-tile-coordinate unit, and max window-relative base (clip
+# bound: valid window extent per axis is ORIGIN[a]+4, u0 <= extent-3)
+ORIGIN = (TILE, TILE, SLAB)
+U0_HI = (TILE + 1, TILE + 1, SLAB + 1)
+
 
 def n_tiles(n_grid: int) -> int:
     return (n_grid + TILE - 1) // TILE
@@ -67,40 +84,45 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float):
       perm         (Np,) int32   — source particle index per padded slot
                                     (arbitrary valid index for padding slots)
       occupied     (Np,) f32     — 1 for real particles, 0 for padding
-      block_tile   (NB,) int32   — tile id of each PBLK block
-      tile_coords  (NB, 3) int32 — tile coordinates per block
+      block_tile   (NB,) int32   — sub-tile id of each PBLK block
+                                    (= tile_id * NSLAB + z_slab)
+      tile_coords  (NB, 3) int32 — sub-tile coordinates per block; x/y in
+                                    tile units, z in SLAB units (origin cell
+                                    of axis a = tile_coords[a] * ORIGIN[a])
       n_blocks     int
     """
     x = np.asarray(x)
     base = np.floor(x * inv_dx - 0.5).astype(np.int32)
     t = n_tiles(n_grid)
     tc = np.clip(base // TILE, 0, t - 1)
-    tid = (tc[:, 0] * t + tc[:, 1]) * t + tc[:, 2]
+    slab = np.clip((base[:, 2] - tc[:, 2] * TILE) // SLAB, 0, NSLAB - 1)
+    tid = ((tc[:, 0] * t + tc[:, 1]) * t + tc[:, 2]) * NSLAB + slab
     order = np.argsort(tid, kind="stable")
     tid_sorted = tid[order]
+    n_sub = t ** 3 * NSLAB
 
-    # every tile gets >= 1 block: a tile with no program writing its output
-    # window would leave that window uninitialized (the kernel accumulates
-    # in-place and only the first program of a tile zeroes the block)
-    counts = np.zeros(t ** 3, np.int64)
+    # every sub-tile gets >= 1 block: a sub-tile with no program writing its
+    # output window would leave that window uninitialized (the kernel
+    # accumulates in-place and only the first program of a tile zeroes it)
+    counts = np.zeros(n_sub, np.int64)
     uniq, uniq_counts = np.unique(tid_sorted, return_counts=True)
     counts[uniq] = uniq_counts
-    starts_src = np.zeros(t ** 3, np.int64)
+    starts_src = np.zeros(n_sub, np.int64)
     starts_src[uniq] = np.cumsum(uniq_counts) - uniq_counts
     blocks_per_tile = np.maximum((counts + PBLK - 1) // PBLK, 1)
     n_real_blocks = int(blocks_per_tile.sum())
     # bucket the block count so re-sorts reuse compiled programs; filler
-    # blocks extend the last tile (all-padding, accumulate zeros)
+    # blocks extend the last sub-tile (all-padding, accumulate zeros)
     bucket = 128
     n_blocks = int(-(-n_real_blocks // bucket) * bucket)
-    blocks_per_tile[t ** 3 - 1] += n_blocks - n_real_blocks
+    blocks_per_tile[n_sub - 1] += n_blocks - n_real_blocks
 
     perm = np.zeros(n_blocks * PBLK, np.int32)
     occupied = np.zeros(n_blocks * PBLK, np.float32)
     block_tile = np.zeros(n_blocks, np.int32)
 
     blk = 0
-    for u in range(t ** 3):
+    for u in range(n_sub):
         c = counts[u]
         src = starts_src[u]
         for b in range(int(blocks_per_tile[u])):
@@ -111,7 +133,11 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float):
                 occupied[s : s + take] = 1.0
             block_tile[blk] = u
             blk += 1
-    tc_of = np.stack([block_tile // (t * t), (block_tile // t) % t, block_tile % t], -1)
+    bt = block_tile // NSLAB  # tile id
+    tc_of = np.stack([
+        bt // (t * t), (bt // t) % t,
+        (bt % t) * NSLAB + block_tile % NSLAB,   # z sub-tile (slab units)
+    ], -1)
     return {
         "perm": jnp.asarray(perm),
         "occupied": jnp.asarray(occupied),
@@ -125,6 +151,7 @@ def combine_windows(windows: jnp.ndarray, n_grid: int, n_channels: int) -> jnp.n
     """Dense combine: per-tile (T,T,T, WIN_S,WIN_S,WIN_S, C) windows ->
     (G,G,G,C) grid; window u -> grid TILE*t + u - 1.  Routed through the
     blocked slice-based combine (general in TILE); linear-path/tests only."""
+    assert NSLAB == 1, "linear combine path requires square windows (no slab)"
     t = n_tiles(n_grid)
     w = windows.reshape(t, t, t, WIN_S, WIN_S, WIN_S, n_channels)
     w = jnp.moveaxis(w, -1, 3)  # (t,t,t,C,WIN_S,WIN_S,WIN_S)
@@ -135,6 +162,7 @@ def combine_windows(windows: jnp.ndarray, n_grid: int, n_channels: int) -> jnp.n
 def extract_windows(grid: jnp.ndarray, n_grid: int) -> jnp.ndarray:
     """Adjoint: (G,G,G,C) -> per-tile (T,T,T, WIN_S,WIN_S,WIN_S, C) windows;
     windows[t, u] = grid[TILE*t + u - 1] (zero outside)."""
+    assert NSLAB == 1, "linear extract path requires square windows (no slab)"
     blocked = linear_to_blocked(grid, n_grid)
     w = extract_windows_blocked(blocked)
     return jnp.moveaxis(w, 3, -1)  # (t,t,t,WIN_S,WIN_S,WIN_S,C)
@@ -250,6 +278,28 @@ def _fold_mats():
     return own, prev, nxt
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_mats_z():
+    """Per-slab (NSLAB, ZWIN_S, TILE) 0/1 z-fold matrices (own, prev, nxt).
+
+    Window lane u of slab s covers grid cell TILE*tz + SLAB*s + u - 1;
+    prev/nxt carry the halo contributions from tile tz-1 / tz+1.  For
+    NSLAB == 1 these equal _fold_mats() exactly."""
+    own = np.zeros((NSLAB, ZWIN_S, TILE), np.float32)
+    prev = np.zeros((NSLAB, ZWIN_S, TILE), np.float32)
+    nxt = np.zeros((NSLAB, ZWIN_S, TILE), np.float32)
+    for s in range(NSLAB):
+        for u in range(min(SLAB + 4, ZWIN_S)):
+            b = SLAB * s + u - 1
+            if 0 <= b < TILE:
+                own[s, u, b] = 1.0
+            if 0 <= b - TILE < TILE:
+                prev[s, u, b - TILE] = 1.0
+            if 0 <= b + TILE < TILE:
+                nxt[s, u, b + TILE] = 1.0
+    return own, prev, nxt
+
+
 def _mm(a, b):
     return jax.lax.dot_general(
         a, b, (((a.ndim - 1,), (0,)), ((), ())),
@@ -257,69 +307,165 @@ def _mm(a, b):
     )
 
 
-def combine_windows_mm(windows: jnp.ndarray, t: int, n_ch: int) -> jnp.ndarray:
-    """Kernel-native (T3, n_ch*WIN_S, WIN_S*WIN_S) windows -> blocked grid
-    (t,t,t, n_ch, TILE,TILE,TILE).  Rows are (channel, ux); cols (uy, uz)."""
+def _fold_cols_zy(w: jnp.ndarray, t: int) -> jnp.ndarray:
+    """z+y column folds of the mm combine, local in any x extent.
+
+    w: (X, t, t, NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S) -> (X, t, t, n_ch*WIN_S,
+    WIN_S*TILE); the z/y tile shifts ride axes 2/1, which are never sharded.
+    """
     own, prev, nxt = _fold_mats()
+    own_z, prev_z, nxt_z = _fold_mats_z()
     eye_w = np.eye(WIN_S, dtype=np.float32)
     eye_t = np.eye(TILE, dtype=np.float32)
+    nx = w.shape[0]
+    rows = w.shape[4]
 
-    w = windows.reshape(t, t, t, n_ch * WIN_S, WIN_S * WIN_S)
-    # z fold on cols: (uy,uz) -> (uy,bz)
-    mz = [jnp.asarray(np.kron(eye_w, m)) for m in (own, prev, nxt)]
-    g = (_mm(w, mz[0]) + _mm(_tile_shift(w, 2, -1), mz[1])
-         + _mm(_tile_shift(w, 2, 1), mz[2]))
+    # z fold on cols: (uy,uz) -> (uy,bz); sum over slabs, skipping all-zero
+    # halo matrices (prev terms only from the top slab, nxt only from s=0)
+    g = jnp.zeros((nx, t, t, rows, WIN_S * TILE), jnp.float32)
+    for s in range(NSLAB):
+        ws = w[:, :, :, s]
+        g = g + _mm(ws, jnp.asarray(np.kron(eye_w, own_z[s])))
+        if prev_z[s].any():
+            g = g + _mm(_tile_shift(ws, 2, -1),
+                        jnp.asarray(np.kron(eye_w, prev_z[s])))
+        if nxt_z[s].any():
+            g = g + _mm(_tile_shift(ws, 2, 1),
+                        jnp.asarray(np.kron(eye_w, nxt_z[s])))
     # y fold on cols: (uy,bz) -> (by,bz)
     my = [jnp.asarray(np.kron(m, eye_t)) for m in (own, prev, nxt)]
-    g = (_mm(g, my[0]) + _mm(_tile_shift(g, 1, -1), my[1])
-         + _mm(_tile_shift(g, 1, 1), my[2]))
+    return (_mm(g, my[0]) + _mm(_tile_shift(g, 1, -1), my[1])
+            + _mm(_tile_shift(g, 1, 1), my[2]))
+
+
+def _lfold(m, a):
+    """Left-multiply a (WIN_S, TILE) fold matrix against the ux axis of
+    (X, t, t, n_ch, WIN_S, TILE*TILE) -> (TILE, X, t, t, n_ch, TILE*TILE)."""
+    return jax.lax.dot_general(
+        jnp.asarray(m.T), a, (((1,), (4,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def combine_windows_mm(windows: jnp.ndarray, t: int, n_ch: int) -> jnp.ndarray:
+    """Kernel-native (T3*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S) windows -> blocked
+    grid (t,t,t, n_ch, TILE,TILE,TILE).  Rows are (channel, ux); cols
+    (uy, uz); sub-tile id = tile_id * NSLAB + z_slab."""
+    own, prev, nxt = _fold_mats()
+    w = windows.reshape(t, t, t, NSLAB, n_ch * WIN_S, WIN_S * ZWIN_S)
+    g = _fold_cols_zy(w, t)
     # x fold on rows: left-multiply (TILE, WIN_S) against the ux axis
     g = g.reshape(t, t, t, n_ch, WIN_S, TILE * TILE)
-
-    def lfold(m, a):
-        return jax.lax.dot_general(
-            jnp.asarray(m.T), a, (((1,), (4,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # -> (TILE, t, t, t, n_ch, TILE*TILE)
-
-    gx = (lfold(own, g) + lfold(prev, _tile_shift(g, 0, -1))
-          + lfold(nxt, _tile_shift(g, 0, 1)))
+    gx = (_lfold(own, g) + _lfold(prev, _tile_shift(g, 0, -1))
+          + _lfold(nxt, _tile_shift(g, 0, 1)))
     gx = jnp.transpose(gx, (1, 2, 3, 4, 0, 5))
     return gx.reshape(t, t, t, n_ch, TILE, TILE, TILE)
 
 
-def extract_windows_mm(grid_blocked: jnp.ndarray) -> jnp.ndarray:
-    """Adjoint: blocked grid (t,t,t, n_ch, TILE,TILE,TILE) -> kernel-native
-    windows (T3, n_ch*WIN_S, WIN_S*WIN_S)."""
-    t = grid_blocked.shape[0]
-    n_ch = grid_blocked.shape[3]
+def combine_windows_mm_halo(windows: jnp.ndarray, nx: int, t: int, n_ch: int,
+                            axis_name: str, n_dev: int) -> jnp.ndarray:
+    """x-slab-sharded combine: per-device kernel-native windows of its nx
+    x-tiles -> its local blocked grid (nx,t,t, n_ch, TILE,TILE,TILE).
+
+    The z/y folds are local; the x fold's cross-tile terms at the slab
+    boundary ride TWO one-plane ``ppermute``s (window contributions of the
+    edge tiles), replacing the full-grid psum of the replicated path —
+    comm/substep = 2 planes of (t,t,n_ch,TILE^3) instead of nx*n_dev of
+    them allreduced (sim/solver_dist.py docstring has the volume math)."""
     own, prev, nxt = _fold_mats()
+    w = windows.reshape(nx, t, t, NSLAB, n_ch * WIN_S, WIN_S * ZWIN_S)
+    g = _fold_cols_zy(w, t)
+    g = g.reshape(nx, t, t, n_ch, WIN_S, TILE * TILE)
+    own_t = _lfold(own, g)     # W[i] -> B[i]          (TILE, nx, t, t, C, .)
+    prv_t = _lfold(prev, g)    # W[i] -> B[i+1]
+    nxt_t = _lfold(nxt, g)     # W[i] -> B[i-1]
+    gx = (own_t + _tile_shift(prv_t, 1, -1) + _tile_shift(nxt_t, 1, 1))
+    # cross-device halo: my edge windows' out-of-range contributions go to
+    # the neighbors; theirs arrive into my edge planes
+    right = [(i, i + 1) for i in range(n_dev - 1)]
+    left = [(i, i - 1) for i in range(1, n_dev)]
+    from_left = jax.lax.ppermute(prv_t[:, -1], axis_name, right)
+    from_right = jax.lax.ppermute(nxt_t[:, 0], axis_name, left)
+    gx = gx.at[:, 0].add(from_left).at[:, -1].add(from_right)
+    gx = jnp.transpose(gx, (1, 2, 3, 4, 0, 5))
+    return gx.reshape(nx, t, t, n_ch, TILE, TILE, TILE)
+
+
+def _lexp(m, a):
+    """Adjoint of _lfold: (WIN_S, TILE) against the bx axis of
+    (X, t, t, n_ch, TILE, TILE*TILE) -> (WIN_S, X, t, t, n_ch, TILE*TILE)."""
+    return jax.lax.dot_general(
+        jnp.asarray(m), a, (((1,), (4,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _expand_cols_yz(w: jnp.ndarray, t: int, n_ch: int) -> jnp.ndarray:
+    """y+z column expands of the mm extract, local in any x extent.
+
+    w: (X, t, t, n_ch*WIN_S, TILE*TILE) -> kernel-native
+    (X*t*t*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S)."""
+    own, prev, nxt = _fold_mats()
+    own_z, prev_z, nxt_z = _fold_mats_z()
     eye_w = np.eye(WIN_S, dtype=np.float32)
     eye_t = np.eye(TILE, dtype=np.float32)
+    nx = w.shape[0]
 
-    g = grid_blocked.reshape(t, t, t, n_ch, TILE, TILE * TILE)
-
-    # x expand on rows: W[tw, u] picks b=u-1 own / b=u+7 of tw-1 / b=0 of tw+1
-    def lexp(m, a):
-        return jax.lax.dot_general(
-            jnp.asarray(m), a, (((1,), (4,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # -> (WIN_S, t, t, t, n_ch, TILE*TILE)
-
-    w = (lexp(own, g) + lexp(nxt, _tile_shift(g, 0, -1))
-         + lexp(prev, _tile_shift(g, 0, 1)))
-    w = jnp.transpose(w, (1, 2, 3, 4, 0, 5))
-    w = w.reshape(t, t, t, n_ch * WIN_S, TILE * TILE)
     # y expand on cols: (by,bz) -> (uy,bz).  W[tw] = own^T G[tw]
     # + nxt^T G[tw-1] + prev^T G[tw+1].
     my = [jnp.asarray(np.kron(m.T, eye_t)) for m in (own, nxt, prev)]
     w = (_mm(w, my[0]) + _mm(_tile_shift(w, 1, -1), my[1])
          + _mm(_tile_shift(w, 1, 1), my[2]))
-    # z expand on cols: (uy,bz) -> (uy,uz)
-    mz = [jnp.asarray(np.kron(eye_w, m.T)) for m in (own, nxt, prev)]
-    w = (_mm(w, mz[0]) + _mm(_tile_shift(w, 2, -1), mz[1])
-         + _mm(_tile_shift(w, 2, 1), mz[2]))
-    return w.reshape(t * t * t, n_ch * WIN_S, WIN_S * WIN_S)
+    # z expand on cols: (uy,bz) -> (uy,uz) per slab
+    slabs = []
+    for s in range(NSLAB):
+        ws = _mm(w, jnp.asarray(np.kron(eye_w, own_z[s].T)))
+        if nxt_z[s].any():
+            ws = ws + _mm(_tile_shift(w, 2, -1),
+                          jnp.asarray(np.kron(eye_w, nxt_z[s].T)))
+        if prev_z[s].any():
+            ws = ws + _mm(_tile_shift(w, 2, 1),
+                          jnp.asarray(np.kron(eye_w, prev_z[s].T)))
+        slabs.append(ws)
+    w = slabs[0] if NSLAB == 1 else jnp.stack(slabs, axis=3)
+    return w.reshape(nx * t * t * NSLAB, n_ch * WIN_S, WIN_S * ZWIN_S)
+
+
+def extract_windows_mm(grid_blocked: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint: blocked grid (t,t,t, n_ch, TILE,TILE,TILE) -> kernel-native
+    windows (T3*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S)."""
+    t = grid_blocked.shape[0]
+    n_ch = grid_blocked.shape[3]
+    own, prev, nxt = _fold_mats()
+
+    g = grid_blocked.reshape(t, t, t, n_ch, TILE, TILE * TILE)
+    # x expand on rows: W[tw, u] picks b=u-1 own / b=u+7 of tw-1 / b=0 of tw+1
+    w = (_lexp(own, g) + _lexp(nxt, _tile_shift(g, 0, -1))
+         + _lexp(prev, _tile_shift(g, 0, 1)))
+    w = jnp.transpose(w, (1, 2, 3, 4, 0, 5))
+    w = w.reshape(t, t, t, n_ch * WIN_S, TILE * TILE)
+    return _expand_cols_yz(w, t, n_ch)
+
+
+def extract_windows_mm_halo(grid_blocked: jnp.ndarray, t: int, n_ch: int,
+                            axis_name: str, n_dev: int) -> jnp.ndarray:
+    """x-slab-sharded adjoint: local blocked grid (nx,t,t,n_ch,TILE^3) ->
+    the device's kernel-native windows; the x expand needs the neighbors'
+    edge grid planes — TWO one-plane ``ppermute``s per substep."""
+    own, prev, nxt = _fold_mats()
+    nx = grid_blocked.shape[0]
+    g = grid_blocked.reshape(nx, t, t, n_ch, TILE, TILE * TILE)
+    right = [(i, i + 1) for i in range(n_dev - 1)]
+    left = [(i, i - 1) for i in range(1, n_dev)]
+    g_left = jax.lax.ppermute(g[-1], axis_name, right)   # neighbor's last
+    g_right = jax.lax.ppermute(g[0], axis_name, left)    # neighbor's first
+    g_ext = jnp.concatenate([g_left[None], g, g_right[None]], axis=0)
+    # W[i] = own^T G[i] + nxt^T G[i-1] + prev^T G[i+1] (ext index i+1)
+    w = (_lexp(own, g_ext[1:-1]) + _lexp(nxt, g_ext[:-2])
+         + _lexp(prev, g_ext[2:]))
+    w = jnp.transpose(w, (1, 2, 3, 4, 0, 5))
+    w = w.reshape(nx, t, t, n_ch * WIN_S, TILE * TILE)
+    return _expand_cols_yz(w, t, n_ch)
 
 
 def blocked_to_linear(grid_blocked: jnp.ndarray, n_grid: int) -> jnp.ndarray:

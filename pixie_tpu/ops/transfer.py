@@ -30,7 +30,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pixie_tpu.ops.tiling import PBLK, TILE, WIN, WIN_S
+from pixie_tpu.ops.tiling import (
+    NSLAB, ORIGIN, PAIRW, PBLK, SLAB, TILE, U0_HI, WIN, WIN_S, ZWIN_S,
+)
+
+_ZSHIFT = ZWIN_S.bit_length() - 1  # log2 of the stored z-window width
 
 # pdata channel layout (see build_pdata)
 _CH = 32
@@ -75,8 +79,9 @@ def build_pdata(x, v, C, stress, mass, vol, tile_coords_per_slot, dt, dx, inv_dx
     grid_pos = x * inv_dx
     base = jnp.floor(grid_pos - 0.5).astype(jnp.int32)
     fx = grid_pos - base.astype(jnp.float32)
-    u0 = base - tile_coords_per_slot * TILE + 1  # window-relative base
-    u0 = jnp.clip(u0, 0, WIN - 3).astype(jnp.float32)
+    # window-relative base; per-axis origin scale (z sub-tiled into slabs)
+    u0 = base - tile_coords_per_slot * jnp.asarray(ORIGIN, jnp.int32) + 1
+    u0 = jnp.clip(u0, 0, jnp.asarray(U0_HI, jnp.int32)).astype(jnp.float32)
 
     qa = mass[:, None] * v
     qb = mass[:, None, None] * dx * C          # (Np,3,3)
@@ -116,7 +121,7 @@ def _window_factors(u0, fx):
 
 
 def _pairs(u0y, fy, u0z, fz):
-    """The five (PBLK, WIN_S*WIN_S) (y,z) pair maps for variant combinations
+    """The five (PBLK, PAIRW) (y,z) pair maps for variant combinations
     (1,1), (2,1), (1,2), (3,1), (1,3), built as products of WIDE per-axis
     factors (each column has at most one active stencil entry per axis, so
     e.g. the dpos-weighted variant is the base variant times a per-column
@@ -127,9 +132,9 @@ def _pairs(u0y, fy, u0z, fz):
     formulation would need.
     """
     n = u0y.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, WIN_S * WIN_S), 1)
-    cy = (col >> 4).astype(jnp.float32)  # WIN_S == 16
-    cz = (col & (WIN_S - 1)).astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, PAIRW), 1)
+    cy = (col >> _ZSHIFT).astype(jnp.float32)   # pair col = uy*ZWIN_S + uz
+    cz = (col & (ZWIN_S - 1)).astype(jnp.float32)
     u0yc = u0y[:, None]
     u0zc = u0z[:, None]
     fyc = fy[:, None]
@@ -160,13 +165,14 @@ def _pairs_mxu(u0y, fy, u0z, fz):
     built (PBLK, WIN_S) narrow (1/16 the vector traffic) and broadcast to
     the 256 pair columns by two constant 0/1 matmuls (the MXU sits idle
     between the kernels' main dots), leaving 5 wide multiplies."""
+    assert NSLAB == 1, "_pairs_mxu supports square windows only (no slab)"
     n = u0y.shape[0]
     y1, y2, y3 = _window_factors(u0y, fy)
     z1, z2, z3 = _window_factors(u0z, fz)
     # col c = uy*WIN_S + uz;  Ey[k,c] = [uy==k], Ez[k,c] = [uz==k]; built
     # from iotas in-kernel (pallas_call forbids captured array constants)
-    row = jax.lax.broadcasted_iota(jnp.int32, (WIN_S, WIN_S * WIN_S), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (WIN_S, WIN_S * WIN_S), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (WIN_S, PAIRW), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (WIN_S, PAIRW), 1)
     ey = (col >> 4 == row).astype(jnp.float32)
     ez = ((col & (WIN_S - 1)) == row).astype(jnp.float32)
 
@@ -235,7 +241,7 @@ def _p2g_kernel(tile_ref, pdata_ref, out_ref):
 
 def p2g_tiled(pdata, block_tile, n_tiles_total: int, interpret: bool = False):
     """pdata (NB*PBLK, 32), block_tile (NB,) -> windows
-    (n_tiles_total, 4*WIN_S, WIN_S*WIN_S) fp32."""
+    (n_tiles_total, 4*WIN_S, PAIRW) fp32."""
     nb = block_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -244,7 +250,7 @@ def p2g_tiled(pdata, block_tile, n_tiles_total: int, interpret: bool = False):
             pl.BlockSpec((PBLK, _CH), lambda i, tile_ref: (i, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, N_GRID_CH * WIN_S, WIN_S * WIN_S),
+            (1, N_GRID_CH * WIN_S, PAIRW),
             lambda i, tile_ref: (tile_ref[i], 0, 0),
         ),
     )
@@ -252,7 +258,7 @@ def p2g_tiled(pdata, block_tile, n_tiles_total: int, interpret: bool = False):
         _p2g_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles_total, N_GRID_CH * WIN_S, WIN_S * WIN_S), jnp.float32
+            (n_tiles_total, N_GRID_CH * WIN_S, PAIRW), jnp.float32
         ),
         interpret=interpret,
     )(block_tile, pdata)
@@ -271,7 +277,8 @@ def build_pdata_rows(x, v, C, stress, mass, vol, tile_rows, dt, dx, inv_dx):
         base = jnp.floor(gp - 0.5)
         fx.append(gp - base)
         u0.append(jnp.clip(
-            base.astype(jnp.int32) - tile_rows[a] * TILE + 1, 0, WIN - 3
+            base.astype(jnp.int32) - tile_rows[a] * ORIGIN[a] + 1,
+            0, U0_HI[a],
         ).astype(jnp.float32))
 
     qa = [mass * v[a] for a in range(3)]
@@ -355,7 +362,7 @@ def _p2g_kernel_t(tile_ref, pdata_ref, out_ref, acc_ref):
 
 def p2g_tiled_t(pdata_t, block_tile, n_tiles_total: int, interpret: bool = False):
     """pdata_t (32, NB*PBLK), block_tile (NB,) -> windows
-    (n_tiles_total, 4*WIN_S, WIN_S*WIN_S) fp32."""
+    (n_tiles_total, 4*WIN_S, PAIRW) fp32."""
     nb = block_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -364,18 +371,18 @@ def p2g_tiled_t(pdata_t, block_tile, n_tiles_total: int, interpret: bool = False
             pl.BlockSpec((_CH, PBLK), lambda i, tile_ref: (0, i)),
         ],
         out_specs=pl.BlockSpec(
-            (1, N_GRID_CH * WIN_S, WIN_S * WIN_S),
+            (1, N_GRID_CH * WIN_S, PAIRW),
             lambda i, tile_ref: (tile_ref[i], 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((N_GRID_CH * WIN_S, WIN_S * WIN_S), jnp.float32)
+            pltpu.VMEM((N_GRID_CH * WIN_S, PAIRW), jnp.float32)
         ],
     )
     return pl.pallas_call(
         _p2g_kernel_t,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles_total, N_GRID_CH * WIN_S, WIN_S * WIN_S), jnp.float32
+            (n_tiles_total, N_GRID_CH * WIN_S, PAIRW), jnp.float32
         ),
         interpret=interpret,
     )(block_tile, pdata_t)
@@ -442,7 +449,7 @@ def g2p_tiled_t(pdata_t, windows, block_tile, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((_CH, PBLK), lambda i, tile_ref: (0, i)),
             pl.BlockSpec(
-                (1, N_VEL_CH * WIN_S, WIN_S * WIN_S),
+                (1, N_VEL_CH * WIN_S, PAIRW),
                 lambda i, tile_ref: (tile_ref[i], 0, 0),
             ),
         ],
@@ -507,7 +514,7 @@ def g2p_tiled(pdata, windows, block_tile, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((PBLK, _CH), lambda i, tile_ref: (i, 0)),
             pl.BlockSpec(
-                (1, N_VEL_CH * WIN_S, WIN_S * WIN_S),
+                (1, N_VEL_CH * WIN_S, PAIRW),
                 lambda i, tile_ref: (tile_ref[i], 0, 0),
             ),
         ],

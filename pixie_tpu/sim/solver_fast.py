@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pixie_tpu.ops import tiling, transfer
-from pixie_tpu.ops.tiling import PBLK, TILE, WIN_S
+from pixie_tpu.ops.tiling import NSLAB, PBLK, TILE, WIN_S
 from pixie_tpu.sim import bc as bc_mod
 from pixie_tpu.sim import soa
 from pixie_tpu.sim.constitutive_soa import compute_stress_rows
@@ -83,12 +83,14 @@ def _tile_coords_per_slot(layout):
 def windows_to_combine_layout(windows, t):
     """(T3, 4*WIN_S, WIN_S^2) -> (t,t,t, WIN_S,WIN_S,WIN_S, 4) (linear-path
     helper, used by parity tests)."""
+    assert NSLAB == 1, "linear helper requires square windows (no slab)"
     w = windows.reshape(t, t, t, transfer.N_GRID_CH, WIN_S, WIN_S, WIN_S)
     return jnp.moveaxis(w, 3, -1)
 
 
 def grid_to_g2p_windows(grid_v, n_grid):
     """(G,G,G,3) -> (T3, 3*WIN_S, WIN_S^2) for the G2P kernel (linear path)."""
+    assert NSLAB == 1, "linear helper requires square windows (no slab)"
     t = tiling.n_tiles(n_grid)
     wins = tiling.extract_windows(grid_v, n_grid)  # (t,t,t,16,16,16,3)
     w = jnp.moveaxis(wins, -1, 3)  # (t,t,t,3,16,16,16)
@@ -111,6 +113,29 @@ def _blocked_valid_mask(cfg: MPMConfig):
     idx = jnp.arange(g_pad) < cfg.n_grid
     m = idx[:, None, None] & idx[None, :, None] & idx[None, None, :]
     return m.reshape(t, TILE, t, TILE, t, TILE).transpose(0, 2, 4, 1, 3, 5)
+
+
+def _blocked_node_x_local(cfg: MPMConfig, nx: int, x_off):
+    """x-slab variant of _blocked_node_x: local x-tile range
+    [x_off, x_off+nx); x_off is a traced scalar (lax.axis_index * nx)."""
+    t = tiling.n_tiles(cfg.n_grid)
+    g_pad = t * TILE
+    idx = jnp.arange(g_pad, dtype=jnp.float32) * cfg.dx
+    xi = ((x_off * TILE).astype(jnp.float32)
+          + jnp.arange(nx * TILE, dtype=jnp.float32)) * cfg.dx
+    node_x = jnp.stack(jnp.meshgrid(xi, idx, idx, indexing="ij"), axis=-1)
+    return node_x.reshape(nx, TILE, t, TILE, t, TILE, 3).transpose(
+        0, 2, 4, 1, 3, 5, 6)
+
+
+def _blocked_valid_mask_local(cfg: MPMConfig, nx: int, x_off):
+    """x-slab variant of _blocked_valid_mask."""
+    t = tiling.n_tiles(cfg.n_grid)
+    g_pad = t * TILE
+    xv = (x_off * TILE + jnp.arange(nx * TILE)) < cfg.n_grid
+    idx = jnp.arange(g_pad) < cfg.n_grid
+    m = xv[:, None, None] & idx[None, :, None] & idx[None, None, :]
+    return m.reshape(nx, TILE, t, TILE, t, TILE).transpose(0, 2, 4, 1, 3, 5)
 
 
 # ---------------------------------------------------------------------------
@@ -190,8 +215,8 @@ def grid_stage(windows, cfg: MPMConfig, bcs, time, dt, psum_axes=None):
     grid update (normalize, gravity, BCs, domain mask), and re-extract
     per-tile G2P velocity windows.  The XLA stage between transfer kernels."""
     t = tiling.n_tiles(cfg.n_grid)
-    t3 = t * t * t
-    if MM_FOLD:
+    t3 = t * t * t * NSLAB  # sub-tile (window-table) count
+    if MM_FOLD or NSLAB > 1:  # slabbed windows only exist in the mm fold
         # matmul-fold path: combine/extract as constant-matrix MXU dots in
         # the kernel-native layout (tiling.combine_windows_mm docstring)
         grid_blocked = tiling.combine_windows_mm(windows, t, transfer.N_GRID_CH)
@@ -213,22 +238,49 @@ def grid_stage(windows, cfg: MPMConfig, bcs, time, dt, psum_axes=None):
         grid_v = apply_grid_bcs(grid_v, _blocked_node_x(cfg), cfg, dt, time, bcs)
     grid_v = grid_v * _blocked_valid_mask(cfg)[..., None]
 
-    if MM_FOLD:
+    if MM_FOLD or NSLAB > 1:
         return tiling.extract_windows_mm(jnp.moveaxis(grid_v, -1, 3))
     return tiling.extract_windows_blocked(
         jnp.moveaxis(grid_v, -1, 3)
     ).reshape(t3, transfer.N_VEL_CH * WIN_S, WIN_S * WIN_S)
 
 
+def grid_stage_halo(windows, cfg: MPMConfig, bcs, time, dt, axis_name: str,
+                    n_dev: int, nx: int, x_off):
+    """x-slab-sharded grid stage: each device combines/updates/extracts only
+    its nx x-tiles of the blocked grid; cross-device traffic is FOUR
+    one-plane ppermutes per substep (two halo window-contribution planes in
+    the combine, two grid planes in the extract) instead of the replicated
+    path's full-grid psum.  SURVEY.md §5 'shard particles and grid across
+    chips with halo exchange'."""
+    t = tiling.n_tiles(cfg.n_grid)
+    grid_blocked = tiling.combine_windows_mm_halo(
+        windows, nx, t, transfer.N_GRID_CH, axis_name, n_dev)
+    grid_cl = jnp.moveaxis(grid_blocked, 3, -1)
+    grid_v = grid_momentum_to_velocity(grid_cl, cfg, dt)
+    if any(isinstance(b, bc_mod.GRID_BC_TYPES) for b in bcs):
+        grid_v = apply_grid_bcs(
+            grid_v, _blocked_node_x_local(cfg, nx, x_off), cfg, dt, time, bcs)
+    grid_v = grid_v * _blocked_valid_mask_local(cfg, nx, x_off)[..., None]
+    return tiling.extract_windows_mm_halo(
+        jnp.moveaxis(grid_v, -1, 3), t, transfer.N_VEL_CH, axis_name, n_dev)
+
+
 def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
-                   interpret: bool = False, psum_axes=None) -> dict:
+                   interpret: bool = False, psum_axes=None,
+                   grid_fn=None) -> dict:
     """One substep on an SoA state dict (semantics of solver.p2g2p).
 
     ``psum_axes``: when run under shard_map with particles sharded, the
     local blocked P2G grid is all-reduced over these mesh axes before the
-    grid update (the one collective per substep; solver_dist.py)."""
+    grid update (the one collective per substep; solver_dist.py).
+
+    ``grid_fn``: optional replacement for the combine/update/extract grid
+    stage, ``windows -> g2p velocity windows`` (the x-slab halo-sharded
+    path of solver_dist.py supplies one); ``layout['n_subtiles']`` then
+    overrides the window-table size (a shard's LOCAL sub-tile count)."""
     t = tiling.n_tiles(cfg.n_grid)
-    t3 = t * t * t
+    t3 = layout.get("n_subtiles", t * t * t * NSLAB)
     tile_rows = [
         jnp.repeat(layout["tile_coords"][:, a], PBLK) for a in range(3)
     ]
@@ -263,15 +315,21 @@ def p2g2p_fast_soa(sd: dict, layout, cfg: MPMConfig, bcs, time, dt,
 
     windows = transfer.p2g_tiled_t(pdata, layout["block_tile"], t3,
                                    interpret=interpret)
-    if psum_axes:
-        # Under shard_map a shard's local blocks need not cover every tile,
-        # and p2g_tiled_t leaves windows of uncovered tiles uninitialized
-        # (only the first program of a tile zeroes its block).  Select them
-        # to zero before they enter the psum.  block_tile is loop-invariant
-        # so XLA hoists this tiny scatter out of the substep scan.
-        covered = jnp.zeros((t3,), jnp.float32).at[layout["block_tile"]].set(1.0)
-        windows = jnp.where(covered[:, None, None] > 0, windows, 0.0)
-    g2p_wins = grid_stage(windows, cfg, bcs, time, dt, psum_axes=psum_axes)
+    if grid_fn is not None:
+        g2p_wins = grid_fn(windows, time)
+    else:
+        if psum_axes:
+            # Under shard_map a shard's local blocks need not cover every
+            # tile, and p2g_tiled_t leaves windows of uncovered tiles
+            # uninitialized (only the first program of a tile zeroes its
+            # block).  Select them to zero before they enter the psum.
+            # block_tile is loop-invariant so XLA hoists this tiny scatter
+            # out of the substep scan.
+            covered = jnp.zeros((t3,), jnp.float32).at[
+                layout["block_tile"]].set(1.0)
+            windows = jnp.where(covered[:, None, None] > 0, windows, 0.0)
+        g2p_wins = grid_stage(windows, cfg, bcs, time, dt,
+                              psum_axes=psum_axes)
     out = transfer.g2p_tiled_t(pdata, g2p_wins, layout["block_tile"],
                                interpret=interpret)
 
@@ -364,7 +422,7 @@ def simulate_substeps_fused(state_padded: MPMState, block_tile, tile_coords,
     assert not any(isinstance(b, bc_mod.PARTICLE_BC_TYPES) for b in bcs), \
         "fused path does not support particle BCs (use the two-kernel path)"
     t = tiling.n_tiles(cfg.n_grid)
-    t3 = t * t * t
+    t3 = t * t * t * NSLAB  # sub-tile (window-table) count
     layout = {
         "block_tile": block_tile,
         "tile_coords": tile_coords,
@@ -504,14 +562,16 @@ class FastMPMSolver:
 
     def _needs_resort(self) -> bool:
         """True when any occupied particle drifted beyond the +/-1 cell the
-        12-node windows absorb (u0 outside [0, WIN-3])."""
+        node windows absorb (u0 outside the per-axis [0, U0_HI])."""
         if self._padded is None:
             return True
         lay = self._layout
         base = tiling.base_cell_of(self._padded.x, self.cfg.inv_dx)
-        u0 = base - jnp.repeat(lay["tile_coords"], tiling.PBLK, axis=0) * tiling.TILE + 1
+        origin = jnp.asarray(tiling.ORIGIN, jnp.int32)
+        u0 = base - jnp.repeat(lay["tile_coords"], tiling.PBLK, axis=0) * origin + 1
         occ = lay["occupied"] > 0
-        bad = jnp.any(occ[:, None] & ((u0 < 0) | (u0 > tiling.WIN - 3)))
+        hi = jnp.asarray(tiling.U0_HI, jnp.int32)
+        bad = jnp.any(occ[:, None] & ((u0 < 0) | (u0 > hi)))
         return bool(bad)
 
     def step_frame(self, n_substeps: int, dt: float):
