@@ -234,3 +234,179 @@ def rollout_fast_sharded(state: MPMState, cfg: MPMConfig, mesh: Mesh,
         jnp.float32(dt), n_substeps, mesh, interpret=interpret,
     )
     return solver_fast.unpad_state(out, layout, state.n_particles)
+
+
+# ---------------------------------------------------------------------------
+# x-slab halo-sharded fast path: particles AND grid sharded by x-tile slabs.
+#
+# The psum variants above replicate the grid — every substep allreduces the
+# full (t,t,t,4,TILE^3) momentum grid (G=120: 27.6 MB, ring allreduce moves
+# ~2x that per chip).  Here device d owns x-tiles [d*nx, (d+1)*nx): its
+# particles (tile-sorted blocks are x-major, so the slab split is a
+# contiguous block range), its slice of the blocked grid, and the grid
+# update for that slice.  Cross-device traffic per substep is FOUR
+# one-plane ppermutes (ops/tiling.py combine/extract *_halo): 2 halo
+# window-contribution planes + 2 grid planes = 4 x (t,t,4,TILE^3) fp32 —
+# G=120: 11 MB total vs ~55 MB allreduced, independent of device count,
+# and the grid update compute shards n_dev-ways instead of replicating.
+# SURVEY.md §5: "shard particles and grid across chips with halo exchange
+# over ICI for >1M-particle scenes".
+# ---------------------------------------------------------------------------
+
+
+def build_halo_layout(x: np.ndarray, n_grid: int, inv_dx: float,
+                      n_dev: int) -> dict:
+    """Host-side x-slab layout: per-device tile-sorted padded blocks with a
+    COMMON per-device block count (so the concatenated arrays shard evenly).
+
+    block_tile holds LOCAL sub-tile ids (window tables are per-device);
+    tile_coords holds GLOBAL sub-tile coordinates (kernel window origins).
+    Requires n_tiles(n_grid) % n_dev == 0."""
+    t = tiling.n_tiles(n_grid)
+    assert t % n_dev == 0, (
+        f"halo sharding needs n_tiles={t} divisible by n_dev={n_dev}")
+    nx = t // n_dev
+    x = np.asarray(x)
+    base = np.floor(x * inv_dx - 0.5).astype(np.int32)
+    tc = np.clip(base // tiling.TILE, 0, t - 1)
+    slab = np.clip((base[:, 2] - tc[:, 2] * tiling.TILE) // tiling.SLAB,
+                   0, tiling.NSLAB - 1)
+    dev = tc[:, 0] // nx
+    loc_tid = ((((tc[:, 0] - dev * nx) * t + tc[:, 1]) * t + tc[:, 2])
+               * tiling.NSLAB + slab)
+    n_sub = nx * t * t * tiling.NSLAB
+
+    per_dev = []
+    for d in range(n_dev):
+        sel = np.nonzero(dev == d)[0]
+        order = sel[np.argsort(loc_tid[sel], kind="stable")]
+        counts = np.bincount(loc_tid[order], minlength=n_sub)
+        blocks_per = np.maximum(-(-counts // tiling.PBLK), 1)
+        per_dev.append((order, counts, blocks_per))
+    nb_local = max(int(b.sum()) for _, _, b in per_dev)
+    nb_local = -(-nb_local // 8) * 8  # mild bucketing for compile reuse
+
+    perm, occ, btile, tcoords = [], [], [], []
+    for d, (order, counts, blocks_per) in enumerate(per_dev):
+        bp = blocks_per.copy()
+        bp[n_sub - 1] += nb_local - int(bp.sum())
+        p = np.zeros(nb_local * tiling.PBLK, np.int32)
+        o = np.zeros(nb_local * tiling.PBLK, np.float32)
+        bt = np.zeros(nb_local, np.int32)
+        starts = np.cumsum(counts) - counts
+        blk = 0
+        for u in range(n_sub):
+            c, src = counts[u], starts[u]
+            for b in range(int(bp[u])):
+                take = int(min(tiling.PBLK, max(c - b * tiling.PBLK, 0)))
+                s0 = blk * tiling.PBLK
+                if take:
+                    lo = src + b * tiling.PBLK
+                    p[s0:s0 + take] = order[lo:lo + take]
+                    o[s0:s0 + take] = 1.0
+                bt[blk] = u
+                blk += 1
+        tx_loc = bt // (t * t * tiling.NSLAB)
+        rem = bt % (t * t * tiling.NSLAB)
+        ty = rem // (t * tiling.NSLAB)
+        rem2 = rem % (t * tiling.NSLAB)
+        tcg = np.stack([
+            tx_loc + d * nx, ty,
+            (rem2 // tiling.NSLAB) * tiling.NSLAB + rem2 % tiling.NSLAB,
+        ], -1).astype(np.int32)
+        perm.append(p)
+        occ.append(o)
+        btile.append(bt)
+        tcoords.append(tcg)
+    return {
+        "perm": jnp.asarray(np.concatenate(perm)),
+        "occupied": jnp.asarray(np.concatenate(occ)),
+        "block_tile": jnp.asarray(np.concatenate(btile)),
+        "tile_coords": jnp.asarray(np.concatenate(tcoords, axis=0)),
+        "n_blocks": nb_local * n_dev,
+        "n_blocks_local": nb_local,
+        "n_subtiles_local": n_sub,
+        "nx": nx,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "n_substeps", "nx", "n_subtiles",
+                     "interpret"),
+)
+def simulate_substeps_halo_sharded(
+    state_padded: MPMState, block_tile, tile_coords, cfg: MPMConfig, bcs,
+    time0, dt, n_substeps: int, mesh: Mesh, nx: int, n_subtiles: int,
+    interpret: bool = False,
+) -> MPMState:
+    """A frame of Pallas fast-path substeps with x-slab halo-sharded grid
+    (4 one-plane ppermutes per substep; no psum)."""
+    assert len(mesh.axis_names) == 1, "halo sharding uses a 1-D mesh"
+    ax = mesh.axis_names[0]
+    n_dev = mesh.shape[ax]
+    assert not any(isinstance(b, bc_mod.PARTICLE_BC_TYPES) for b in bcs), \
+        "particle-BC masks are not sharded; use the psum path"
+
+    sd0 = solver_fast.state_to_soa(state_padded)
+    sd_specs = _soa_spec(sd0, (ax,))
+    part = P(ax)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(sd_specs, part, P(ax, None)),
+        out_specs=sd_specs,
+        check_rep=False,
+    )
+    def run(sd: dict, bt, tc) -> dict:
+        x_off = jax.lax.axis_index(ax) * nx
+        layout = {"block_tile": bt, "tile_coords": tc,
+                  "n_subtiles": n_subtiles}
+
+        def grid_fn(windows, t_now):
+            return solver_fast.grid_stage_halo(
+                windows, cfg, bcs, t_now, dt, ax, n_dev, nx, x_off)
+
+        def body(sd, step):
+            t_now = time0 + step.astype(jnp.float32) * dt
+            sd = solver_fast.p2g2p_fast_soa(
+                sd, layout, cfg, bcs, t_now, dt,
+                interpret=interpret, grid_fn=grid_fn,
+            )
+            return sd, None
+
+        sd, _ = jax.lax.scan(body, sd, jnp.arange(n_substeps))
+        return sd
+
+    sd = run(sd0, jnp.asarray(block_tile), jnp.asarray(tile_coords))
+    return solver_fast.soa_to_state(sd, state_padded)
+
+
+def rollout_halo_sharded(state: MPMState, cfg: MPMConfig, mesh: Mesh,
+                         bcs=(), n_substeps: int = 8, dt: float = 1e-4,
+                         time0: float = 0.0,
+                         interpret: bool | None = None) -> MPMState:
+    """Convenience wrapper: build the x-slab halo layout, shard, run one
+    frame of substeps, and unpad back to the original particle order."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert len(mesh.axis_names) == 1
+    n_dev = mesh.shape[mesh.axis_names[0]]
+    layout = build_halo_layout(
+        np.asarray(state.x), cfg.n_grid, cfg.inv_dx, n_dev)
+    padded = solver_fast.pad_state_to_layout(state, layout)
+
+    part = NamedSharding(mesh, _particle_spec(mesh))
+
+    def put(a):
+        if a.ndim >= 1 and a.shape[0] == padded.x.shape[0]:
+            return jax.device_put(a, part)
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    padded = jax.tree.map(put, padded)
+    out = simulate_substeps_halo_sharded(
+        padded, layout["block_tile"], layout["tile_coords"], cfg,
+        tuple(bcs), jnp.float32(time0), jnp.float32(dt), n_substeps, mesh,
+        layout["nx"], layout["n_subtiles_local"], interpret=interpret,
+    )
+    return solver_fast.unpad_state(out, layout, state.n_particles)
