@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pixie_tpu.ops.tiling import ORIGIN, PAIRW, PBLK, TILE, U0_HI, WIN, WIN_S
+from pixie_tpu.ops.tiling import ORIGIN, PAIRW, PBLK, U0_HI, WIN_S
 from pixie_tpu.ops.transfer import (
     N_GRID_CH,
     N_VEL_CH,

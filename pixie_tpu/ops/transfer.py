@@ -21,17 +21,15 @@ a scalar-prefetched tile-id table.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pixie_tpu.ops.tiling import (
-    NSLAB, ORIGIN, PAIRW, PBLK, SLAB, TILE, U0_HI, WIN, WIN_S, ZWIN_S,
+    NSLAB, ORIGIN, PAIRW, PBLK, U0_HI, WIN_S, ZWIN_S,
 )
 
 _ZSHIFT = ZWIN_S.bit_length() - 1  # log2 of the stored z-window width
