@@ -47,9 +47,17 @@ def _knn_brute(query: jnp.ndarray, ref: jnp.ndarray, k: int = 10):
 
 
 def knn(query: np.ndarray, ref: np.ndarray, k: int = 10, block: int = 65536):
-    """Blocked device kNN for large query sets."""
+    """Blocked device kNN for large query sets.
+
+    The query block adapts to the reference size so the (block, R) distance
+    matrix stays bounded: at 2^27 f32 elements (512 MB) the transient
+    d2/top_k buffers fit comfortably in 16 GB HBM even when both point sets
+    are large (a 65536 x 87655 block OOMed at 23 GB on v5e).
+    """
     query = jnp.asarray(query, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
+    max_elems = 1 << 27
+    block = max(256, min(block, max_elems // max(ref.shape[0], 1)))
     outs_d, outs_i = [], []
     for start in range(0, query.shape[0], block):
         d, i = _knn_brute(query[start : start + block], ref, k)
