@@ -1,0 +1,93 @@
+"""Per-frame GS render cost inside the sim frame loop (VERDICT r3 #1 "done"
+criterion: a per-frame render ms number for the native GS-rendered rollout).
+
+Times SimRenderer.render_frame — the rebuild of the reference's in-loop
+rasterize (gs_simulation.py:573-631: export x/cov -> undo transforms ->
+convert_SH -> CUDA rasterizer) — at reference scale: 100k gaussians, 800^2,
+orbit camera from the jelly-tree config's camera block.
+
+Run:  python scripts/bench_render_sim.py [--gaussians 100000] [--frames 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=100_000)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--ply", action="store_true",
+                    help="also time the per-frame gaussian PLY export")
+    args = ap.parse_args()
+
+    from pixie_tpu.sim.render_sim import SimRenderer
+
+    g = args.gaussians
+    rng = np.random.default_rng(0)
+
+    # gaussian payload: a blob in the MPM cube around (1,1,1), degree-3 SH
+    x_mpm = rng.uniform(0.8, 1.2, (g, 3)).astype(np.float32)
+    s = rng.uniform(0.002, 0.008, (g, 3)).astype(np.float32)
+    cov6 = np.stack([s[:, 0] ** 2, 0 * s[:, 0], 0 * s[:, 0],
+                     s[:, 1] ** 2, 0 * s[:, 0], s[:, 2] ** 2], -1)
+    shs = rng.normal(0, 0.3, (g, 16, 3)).astype(np.float32)
+    shs[:, 0] += 1.0
+    opacity = rng.uniform(0.3, 0.95, (g, 1)).astype(np.float32)
+
+    camera_params = {
+        # custom_tree_config.json camera block shape
+        "mpm_space_viewpoint_center": [1.0, 1.0, 1.0],
+        "mpm_space_vertical_upward_axis": [0.0, 0.0, 1.0],
+        "default_camera_index": -1,
+        "init_azimuthm": 0.0, "init_elevation": 20.0, "init_radius": 2.2,
+        "move_camera": True, "delta_a": 1.0, "delta_e": 0.0, "delta_r": 0.0,
+    }
+    renderer = SimRenderer.from_camera_params(
+        camera_params, model_path=None, n_frames=args.frames + 2,
+        shs=shs, opacity_act=opacity, scale_origin=0.5,
+        original_mean_pos=np.zeros(3, np.float32), rotation_matrices=[],
+        z_shift=0.0,
+    )
+    renderer.width = renderer.height = args.res
+
+    # compile + first frame (camera at frame 0)
+    t0 = time.time()
+    img, (pos_w, cov_w) = renderer.render_frame(0, x_mpm, cov6)
+    print(f"render_frame compile+first: {time.time()-t0:.1f}s "
+          f"img {img.shape} mean {img.mean():.4f}", flush=True)
+
+    times = []
+    for f in range(1, args.frames + 1):
+        # perturb positions per frame (simulated motion; defeats dispatch dedup)
+        xf = x_mpm + np.float32(0.002 * f)
+        t0 = time.time()
+        img, _ = renderer.render_frame(f, xf, cov6)
+        times.append(time.time() - t0)
+    frame_ms = float(np.median(times)) * 1e3
+
+    out = {
+        "gaussians": g,
+        "resolution": args.res,
+        "render_frame_ms": round(frame_ms, 1),
+        "frames_timed": args.frames,
+    }
+    if args.ply:
+        t0 = time.time()
+        renderer.export_gaussian_ply("/tmp/bench_sim_frame.ply", pos_w, cov_w)
+        out["ply_export_s"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
