@@ -77,7 +77,8 @@ def tile_id_of(base_cell: jnp.ndarray, n_grid: int) -> jnp.ndarray:
     return (tc[:, 0] * t + tc[:, 1]) * t + tc[:, 2]
 
 
-def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float):
+def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float,
+                        box: bool = False, box_dims_min=None):
     """Host-side layout build (amortized; runs at setup and every resort).
 
     Returns a dict with:
@@ -85,21 +86,53 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float):
                                     (arbitrary valid index for padding slots)
       occupied     (Np,) f32     — 1 for real particles, 0 for padding
       block_tile   (NB,) int32   — sub-tile id of each PBLK block
-                                    (= tile_id * NSLAB + z_slab)
-      tile_coords  (NB, 3) int32 — sub-tile coordinates per block; x/y in
-                                    tile units, z in SLAB units (origin cell
-                                    of axis a = tile_coords[a] * ORIGIN[a])
+                                    (= tile_id * NSLAB + z_slab, box-local
+                                    when ``box``)
+      tile_coords  (NB, 3) int32 — ABSOLUTE sub-tile coordinates per block;
+                                    x/y in tile units, z in SLAB units (origin
+                                    cell of axis a = tile_coords[a]*ORIGIN[a])
+      box_origin   (3,) ints     — tile-origin of the active box (0 w/o box)
+      box_tiles    (3,) ints     — tile extent of the active box (t w/o box)
+      n_subtiles   int           — prod(box_tiles) * NSLAB
       n_blocks     int
+
+    ``box=True`` restricts windows, folds, and the blocked grid to the
+    occupied-tile bounding box padded by one tile per side (edge-tile windows
+    write one node beyond the tile).  At sparse real-scene scale (n_grid=120,
+    500k particles in blobs) only ~9% of tiles hold particles: the box cuts
+    the ≥1-block-per-empty-sub-tile kernel padding and shrinks every fold
+    matmul and grid op by the box/cube volume ratio.  Box dims are rounded
+    up to even tile counts and floored at ``box_dims_min`` (the caller's
+    running max) so resorts reuse compiled programs — dims are shape-static,
+    while the box ORIGIN reaches the jitted substep as a traced array, so a
+    box migrating with falling material never recompiles.
     """
     x = np.asarray(x)
     base = np.floor(x * inv_dx - 0.5).astype(np.int32)
     t = n_tiles(n_grid)
     tc = np.clip(base // TILE, 0, t - 1)
     slab = np.clip((base[:, 2] - tc[:, 2] * TILE) // SLAB, 0, NSLAB - 1)
-    tid = ((tc[:, 0] * t + tc[:, 1]) * t + tc[:, 2]) * NSLAB + slab
+
+    if box:
+        lo = np.maximum(tc.min(axis=0) - 1, 0)
+        hi = np.minimum(tc.max(axis=0) + 1, t - 1)
+        dims = np.minimum(-(-(hi - lo + 1) // 2) * 2, t)  # even-bucketed
+        if box_dims_min is not None:
+            dims = np.minimum(np.maximum(dims, np.asarray(box_dims_min)), t)
+        lo = np.maximum(0, np.minimum(lo, t - dims))      # keep box in-grid
+        box_origin = tuple(int(v) for v in lo)
+        box_tiles = tuple(int(v) for v in dims)
+    else:
+        box_origin = (0, 0, 0)
+        box_tiles = (t, t, t)
+    bo = np.asarray(box_origin)
+    bt_dims = np.asarray(box_tiles)
+    tcl = tc - bo  # box-local tile coords
+    tid = ((tcl[:, 0] * bt_dims[1] + tcl[:, 1]) * bt_dims[2]
+           + tcl[:, 2]) * NSLAB + slab
     order = np.argsort(tid, kind="stable")
     tid_sorted = tid[order]
-    n_sub = t ** 3 * NSLAB
+    n_sub = int(bt_dims.prod()) * NSLAB
 
     # every sub-tile gets >= 1 block: a sub-tile with no program writing its
     # output window would leave that window uninitialized (the kernel
@@ -133,16 +166,23 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float):
                 occupied[s : s + take] = 1.0
             block_tile[blk] = u
             blk += 1
-    bt = block_tile // NSLAB  # tile id
+    bt = block_tile // NSLAB  # box-local tile id
+    bx, by, bz = box_tiles
+    txc = bt // (by * bz) + box_origin[0]
+    tyc = (bt // bz) % by + box_origin[1]
+    tzc = bt % bz + box_origin[2]
     tc_of = np.stack([
-        bt // (t * t), (bt // t) % t,
-        (bt % t) * NSLAB + block_tile % NSLAB,   # z sub-tile (slab units)
+        txc, tyc,
+        tzc * NSLAB + block_tile % NSLAB,        # z sub-tile (slab units)
     ], -1)
     return {
         "perm": jnp.asarray(perm),
         "occupied": jnp.asarray(occupied),
         "block_tile": jnp.asarray(block_tile),
         "tile_coords": jnp.asarray(tc_of.astype(np.int32)),
+        "box_origin": box_origin,
+        "box_tiles": box_tiles,
+        "n_subtiles": n_sub,
         "n_blocks": n_blocks,
     }
 
@@ -307,22 +347,23 @@ def _mm(a, b):
     )
 
 
-def _fold_cols_zy(w: jnp.ndarray, t: int) -> jnp.ndarray:
+def _fold_cols_zy(w: jnp.ndarray) -> jnp.ndarray:
     """z+y column folds of the mm combine, local in any x extent.
 
-    w: (X, t, t, NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S) -> (X, t, t, n_ch*WIN_S,
-    WIN_S*TILE); the z/y tile shifts ride axes 2/1, which are never sharded.
+    w: (X, ty, tz, NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S) -> (X, ty, tz,
+    n_ch*WIN_S, WIN_S*TILE); the z/y tile shifts ride axes 2/1, which are
+    never sharded (y/z tile extents may differ under the active-box layout).
     """
     own, prev, nxt = _fold_mats()
     own_z, prev_z, nxt_z = _fold_mats_z()
     eye_w = np.eye(WIN_S, dtype=np.float32)
     eye_t = np.eye(TILE, dtype=np.float32)
-    nx = w.shape[0]
+    nx, ty, tz = w.shape[0], w.shape[1], w.shape[2]
     rows = w.shape[4]
 
     # z fold on cols: (uy,uz) -> (uy,bz); sum over slabs, skipping all-zero
     # halo matrices (prev terms only from the top slab, nxt only from s=0)
-    g = jnp.zeros((nx, t, t, rows, WIN_S * TILE), jnp.float32)
+    g = jnp.zeros((nx, ty, tz, rows, WIN_S * TILE), jnp.float32)
     for s in range(NSLAB):
         ws = w[:, :, :, s]
         g = g + _mm(ws, jnp.asarray(np.kron(eye_w, own_z[s])))
@@ -347,19 +388,21 @@ def _lfold(m, a):
     )
 
 
-def combine_windows_mm(windows: jnp.ndarray, t: int, n_ch: int) -> jnp.ndarray:
-    """Kernel-native (T3*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S) windows -> blocked
-    grid (t,t,t, n_ch, TILE,TILE,TILE).  Rows are (channel, ux); cols
-    (uy, uz); sub-tile id = tile_id * NSLAB + z_slab."""
+def combine_windows_mm(windows: jnp.ndarray, tdims, n_ch: int) -> jnp.ndarray:
+    """Kernel-native (prod(tdims)*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S) windows ->
+    blocked grid (tx,ty,tz, n_ch, TILE,TILE,TILE).  Rows are (channel, ux);
+    cols (uy, uz); sub-tile id = box-local tile_id * NSLAB + z_slab.
+    ``tdims``: int (cube) or (tx, ty, tz) tile extents (active-box layout)."""
+    tx, ty, tz = (tdims,) * 3 if isinstance(tdims, int) else tdims
     own, prev, nxt = _fold_mats()
-    w = windows.reshape(t, t, t, NSLAB, n_ch * WIN_S, WIN_S * ZWIN_S)
-    g = _fold_cols_zy(w, t)
+    w = windows.reshape(tx, ty, tz, NSLAB, n_ch * WIN_S, WIN_S * ZWIN_S)
+    g = _fold_cols_zy(w)
     # x fold on rows: left-multiply (TILE, WIN_S) against the ux axis
-    g = g.reshape(t, t, t, n_ch, WIN_S, TILE * TILE)
+    g = g.reshape(tx, ty, tz, n_ch, WIN_S, TILE * TILE)
     gx = (_lfold(own, g) + _lfold(prev, _tile_shift(g, 0, -1))
           + _lfold(nxt, _tile_shift(g, 0, 1)))
     gx = jnp.transpose(gx, (1, 2, 3, 4, 0, 5))
-    return gx.reshape(t, t, t, n_ch, TILE, TILE, TILE)
+    return gx.reshape(tx, ty, tz, n_ch, TILE, TILE, TILE)
 
 
 def combine_windows_mm_halo(windows: jnp.ndarray, nx: int, t: int, n_ch: int,
@@ -374,7 +417,7 @@ def combine_windows_mm_halo(windows: jnp.ndarray, nx: int, t: int, n_ch: int,
     them allreduced (sim/solver_dist.py docstring has the volume math)."""
     own, prev, nxt = _fold_mats()
     w = windows.reshape(nx, t, t, NSLAB, n_ch * WIN_S, WIN_S * ZWIN_S)
-    g = _fold_cols_zy(w, t)
+    g = _fold_cols_zy(w)
     g = g.reshape(nx, t, t, n_ch, WIN_S, TILE * TILE)
     own_t = _lfold(own, g)     # W[i] -> B[i]          (TILE, nx, t, t, C, .)
     prv_t = _lfold(prev, g)    # W[i] -> B[i+1]
@@ -400,16 +443,16 @@ def _lexp(m, a):
     )
 
 
-def _expand_cols_yz(w: jnp.ndarray, t: int, n_ch: int) -> jnp.ndarray:
+def _expand_cols_yz(w: jnp.ndarray, n_ch: int) -> jnp.ndarray:
     """y+z column expands of the mm extract, local in any x extent.
 
-    w: (X, t, t, n_ch*WIN_S, TILE*TILE) -> kernel-native
-    (X*t*t*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S)."""
+    w: (X, ty, tz, n_ch*WIN_S, TILE*TILE) -> kernel-native
+    (X*ty*tz*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S)."""
     own, prev, nxt = _fold_mats()
     own_z, prev_z, nxt_z = _fold_mats_z()
     eye_w = np.eye(WIN_S, dtype=np.float32)
     eye_t = np.eye(TILE, dtype=np.float32)
-    nx = w.shape[0]
+    nx, ty, tz = w.shape[0], w.shape[1], w.shape[2]
 
     # y expand on cols: (by,bz) -> (uy,bz).  W[tw] = own^T G[tw]
     # + nxt^T G[tw-1] + prev^T G[tw+1].
@@ -428,23 +471,23 @@ def _expand_cols_yz(w: jnp.ndarray, t: int, n_ch: int) -> jnp.ndarray:
                           jnp.asarray(np.kron(eye_w, prev_z[s].T)))
         slabs.append(ws)
     w = slabs[0] if NSLAB == 1 else jnp.stack(slabs, axis=3)
-    return w.reshape(nx * t * t * NSLAB, n_ch * WIN_S, WIN_S * ZWIN_S)
+    return w.reshape(nx * ty * tz * NSLAB, n_ch * WIN_S, WIN_S * ZWIN_S)
 
 
 def extract_windows_mm(grid_blocked: jnp.ndarray) -> jnp.ndarray:
-    """Adjoint: blocked grid (t,t,t, n_ch, TILE,TILE,TILE) -> kernel-native
-    windows (T3*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S)."""
-    t = grid_blocked.shape[0]
+    """Adjoint: blocked grid (tx,ty,tz, n_ch, TILE,TILE,TILE) -> kernel-native
+    windows (prod(tdims)*NSLAB, n_ch*WIN_S, WIN_S*ZWIN_S)."""
+    tx, ty, tz = grid_blocked.shape[:3]
     n_ch = grid_blocked.shape[3]
     own, prev, nxt = _fold_mats()
 
-    g = grid_blocked.reshape(t, t, t, n_ch, TILE, TILE * TILE)
+    g = grid_blocked.reshape(tx, ty, tz, n_ch, TILE, TILE * TILE)
     # x expand on rows: W[tw, u] picks b=u-1 own / b=u+7 of tw-1 / b=0 of tw+1
     w = (_lexp(own, g) + _lexp(nxt, _tile_shift(g, 0, -1))
          + _lexp(prev, _tile_shift(g, 0, 1)))
     w = jnp.transpose(w, (1, 2, 3, 4, 0, 5))
-    w = w.reshape(t, t, t, n_ch * WIN_S, TILE * TILE)
-    return _expand_cols_yz(w, t, n_ch)
+    w = w.reshape(tx, ty, tz, n_ch * WIN_S, TILE * TILE)
+    return _expand_cols_yz(w, n_ch)
 
 
 def extract_windows_mm_halo(grid_blocked: jnp.ndarray, t: int, n_ch: int,
@@ -465,7 +508,7 @@ def extract_windows_mm_halo(grid_blocked: jnp.ndarray, t: int, n_ch: int,
          + _lexp(prev, g_ext[2:]))
     w = jnp.transpose(w, (1, 2, 3, 4, 0, 5))
     w = w.reshape(nx, t, t, n_ch * WIN_S, TILE * TILE)
-    return _expand_cols_yz(w, t, n_ch)
+    return _expand_cols_yz(w, n_ch)
 
 
 def blocked_to_linear(grid_blocked: jnp.ndarray, n_grid: int) -> jnp.ndarray:
