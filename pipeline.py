@@ -304,6 +304,8 @@ def run_physics_simulation(cfg, paths, material_ply):
         render_img=render_img,
         compile_video=bool(cfg.physics.get("compile_video", True)),
         white_bg=white_bg,
+        checkpoint_every=int(cfg.physics.get("checkpoint_every", 0)),
+        resume=bool(cfg.physics.get("resume", False)),
     )
 
 

@@ -41,6 +41,8 @@ def run_simulation(
     render_img: bool = False,
     compile_video: bool = False,
     white_bg: bool = False,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> dict:
     """End-to-end rollout; returns timing/diagnostic info.
 
@@ -55,6 +57,12 @@ def run_simulation(
     through the tile splat rasterizer with F-transported covariances and SH
     colors — the reference's flagship video output (gs_simulation.py:573-631)
     — writing ``frames/%05d.png`` and gaussian-format ``ply_files`` frames.
+
+    ``checkpoint_every`` > 0 snapshots the full solver state to
+    ``rollout_ckpt.npz`` every that-many frames (atomic write); with
+    ``resume=True`` an existing snapshot restores the rollout mid-flight
+    and already-exported frames are skipped.  The reference cannot resume
+    a rollout (engine_utils.py exports positions only).
     """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -163,10 +171,29 @@ def run_simulation(
     frame_num = int(n_frames if n_frames is not None else time_params["frame_num"])
     steps_per_frame = max(int(round(frame_dt / substep_dt)), 1)
 
+    ckpt_path = output_dir / "rollout_ckpt.npz"
+    start_frame = 0
+    if resume and ckpt_path.exists():
+        from pixie_tpu.sim.engine_utils import (  # noqa: PLC0415
+            load_rollout_checkpoint,
+        )
+
+        ck_state, ck_time, start_frame = load_rollout_checkpoint(ckpt_path)
+        if ck_state.x.shape[0] != solver.state.x.shape[0]:
+            raise ValueError(
+                f"rollout checkpoint particle count {ck_state.x.shape[0]} "
+                f"!= scene particle count {solver.state.x.shape[0]}"
+            )
+        solver.state = ck_state
+        solver.time = ck_time
+        logging.info("resuming rollout from frame %d (t=%.4f)",
+                     start_frame, ck_time)
+
     if use_fast_solver:
         from pixie_tpu.sim.solver_fast import FastMPMSolver  # noqa: PLC0415
 
         fast = FastMPMSolver(solver.state, solver.cfg, tuple(solver.bcs))
+        fast.time = solver.time
         stepper = fast
     else:
         stepper = solver
@@ -193,7 +220,7 @@ def run_simulation(
         gs_num = gs_payload["gs_num"]
 
     frame_times, render_times = [], []
-    for frame in range(frame_num):
+    for frame in range(start_frame, frame_num):
         # render/export the CURRENT state, then step — the reference's frame
         # loop order (gs_simulation.py:573-637: rasterize, save, p2g2p)
         x_mpm = np.asarray(stepper.state.x)
@@ -232,6 +259,13 @@ def run_simulation(
         stepper.step_frame(steps_per_frame, substep_dt)
         np.asarray(stepper.state.x)  # sync so frame timing is honest
         frame_times.append(time.time() - t0)
+        if checkpoint_every and (frame + 1) % checkpoint_every == 0:
+            from pixie_tpu.sim.engine_utils import (  # noqa: PLC0415
+                save_rollout_checkpoint,
+            )
+
+            save_rollout_checkpoint(
+                ckpt_path, stepper.state, float(stepper.time), frame + 1)
         if frame % 10 == 0:
             logging.info(
                 "frame %d/%d: %.1fms (%d substeps)",

@@ -45,3 +45,46 @@ def save_positions_ply(path: str | Path, x: np.ndarray, colors: np.ndarray | Non
         v["red"], v["green"], v["blue"] = np.asarray(colors, np.uint8).T
     v["x"], v["y"], v["z"] = x.T
     write_ply(path, v)
+
+
+def save_rollout_checkpoint(path: str | Path, state, sim_time: float,
+                            next_frame: int):
+    """Snapshot the FULL MPMState + sim clock as one npz.
+
+    Makes long rollouts resumable — a capability the reference lacks (its
+    engine_utils.py:10-47 exports x/volume h5 and position PLYs only;
+    SURVEY.md section 5: "MPM rollout state is not checkpointable").  The
+    write is atomic (tmp + rename) so a kill mid-save leaves the previous
+    checkpoint intact.
+    """
+    import dataclasses  # noqa: PLC0415
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrs = {
+        f.name: np.asarray(getattr(state, f.name))
+        for f in dataclasses.fields(state)
+    }
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez_compressed(tmp, _sim_time=np.float64(sim_time),
+                        _next_frame=np.int64(next_frame), **arrs)
+    tmp.replace(path)
+
+
+def load_rollout_checkpoint(path: str | Path):
+    """Inverse of save_rollout_checkpoint -> (MPMState, sim_time, next_frame)."""
+    import dataclasses  # noqa: PLC0415
+
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    from pixie_tpu.sim.types import MPMState  # noqa: PLC0415
+
+    with np.load(Path(path)) as z:
+        fields = {
+            f.name: jnp.asarray(z[f.name])
+            for f in dataclasses.fields(MPMState)
+            if f.name in z
+        }
+        sim_time = float(z["_sim_time"])
+        next_frame = int(z["_next_frame"])
+    return MPMState(**fields), sim_time, next_frame

@@ -28,7 +28,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pixie_tpu.ops import tiling
@@ -90,7 +90,7 @@ def simulate_substeps_sharded(
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(state_specs,), out_specs=state_specs,
-        check_rep=False,
+        check_vma=False,
     )
     def run(st: MPMState) -> MPMState:
         def body(carry, step):
@@ -185,7 +185,7 @@ def simulate_substeps_fast_sharded(
         shard_map, mesh=mesh,
         in_specs=(sd_specs, part, P(axes, None)),
         out_specs=sd_specs,
-        check_rep=False,
+        check_vma=False,
     )
     def run(sd: dict, bt, tc) -> dict:
         layout = {"block_tile": bt, "tile_coords": tc}
@@ -356,7 +356,7 @@ def simulate_substeps_halo_sharded(
         shard_map, mesh=mesh,
         in_specs=(sd_specs, part, P(ax, None)),
         out_specs=sd_specs,
-        check_rep=False,
+        check_vma=False,
     )
     def run(sd: dict, bt, tc) -> dict:
         x_off = jax.lax.axis_index(ax) * nx

@@ -218,3 +218,54 @@ class TestGaussianCheckpointSim:
         # material mapped from the PLY via kNN
         np.testing.assert_allclose(f["E"], 1e5, rtol=1e-4)
         assert np.isfinite(f["x"]).all()
+
+
+class TestRolloutCheckpoint:
+    def test_checkpoint_resume_matches_uninterrupted(self, tmp_path):
+        """4-frame rollout == 2 frames + checkpoint + resumed 2 frames
+        (bit-exact: the snapshot carries the FULL MPMState).  The reference
+        cannot do this (engine_utils.py exports positions only)."""
+        import json
+
+        from pixie_tpu.sim.driver import run_simulation
+        from pixie_tpu.utils.io import make_material_vertex, read_ply, write_ply
+
+        rng = np.random.default_rng(3)
+        n = 300
+        coords = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+        v = make_material_vertex(
+            coords=coords,
+            density=np.full(n, 300.0, np.float32),
+            E=np.full(n, 1e5, np.float32),
+            nu=np.full(n, 0.35, np.float32),
+            material_id=np.zeros(n, np.int64),
+        )
+        ply = tmp_path / "mapped_preds.ply"
+        write_ply(ply, v)
+        sim_cfg = {
+            "material": "jelly", "n_grid": 24, "grid_lim": 2.0,
+            "substep_dt": 1e-4, "frame_dt": 1e-3, "frame_num": 4, "g": 9.8,
+            "boundary_conditions": [
+                {"type": "surface_collider", "point": [0, 0, 0.1],
+                 "normal": [0, 0, 1], "surface": "sticky", "friction": 0.0,
+                 "start_time": 0, "end_time": 1e3}
+            ],
+        }
+        cfg_path = tmp_path / "sim.json"
+        cfg_path.write_text(json.dumps(sim_cfg))
+
+        run_simulation(ply, cfg_path, tmp_path / "ref")
+        ref = read_ply(sorted(
+            (tmp_path / "ref" / "ply_files").glob("frame_*.ply"))[-1])["vertex"]
+
+        # interrupted: 2 frames with a checkpoint, then resume to the end
+        run_simulation(ply, cfg_path, tmp_path / "ck", n_frames=2,
+                       checkpoint_every=2)
+        assert (tmp_path / "ck" / "rollout_ckpt.npz").exists()
+        info = run_simulation(ply, cfg_path, tmp_path / "ck", resume=True,
+                              checkpoint_every=2)
+        assert info["frames"] == 4
+        got = read_ply(sorted(
+            (tmp_path / "ck" / "ply_files").glob("frame_*.ply"))[-1])["vertex"]
+        for fld in ("x", "y", "z"):
+            np.testing.assert_array_equal(got[fld], ref[fld])
