@@ -88,3 +88,64 @@ def test_combine_extract_adjoint(rng):
     lhs = float(jnp.sum(extract_windows(g, n_grid) * w))
     rhs = float(jnp.sum(g * combine_windows(w, n_grid, 2)))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+class TestActiveBoxLayout:
+    """Occupied-bbox layout (box=True): bookkeeping invariants."""
+
+    def _blob(self, rng, n_grid, lo, hi, n=800):
+        inv_dx = n_grid / 3.0
+        x = rng.uniform(lo, hi, (n, 3)).astype(np.float32) * (3.0)
+        return x, inv_dx
+
+    def test_box_contains_all_occupied_tiles_plus_halo(self, rng):
+        n_grid = 96  # t = 8 tiles: a corner blob gives a proper sub-box
+        inv_dx = n_grid / 3.0
+        x = rng.uniform(0.05, 0.3, (800, 3)).astype(np.float32) * 3.0
+        lay = build_padded_layout(x, n_grid, inv_dx, box=True)
+        t = n_tiles(n_grid)
+        org = np.asarray(lay["box_origin"])
+        dims = np.asarray(lay["box_tiles"])
+        assert (dims < t).any(), "corner blob should give a proper sub-box"
+        base = np.floor(x * inv_dx - 0.5).astype(np.int32)
+        tc = np.clip(base // TILE, 0, t - 1)
+        # one-tile halo per side (clipped at the grid edge)
+        assert (org <= np.maximum(tc.min(0) - 1, 0)).all()
+        assert (org + dims - 1 >= np.minimum(tc.max(0) + 1, t - 1)).all()
+        assert (dims % 2 == 0).all() or (dims == t).any()
+        # block tile_coords are ABSOLUTE and inside the box
+        bc = np.asarray(lay["tile_coords"])  # x/y tile units, z slab units
+        from pixie_tpu.ops.tiling import NSLAB
+        bz = bc[:, 2] // NSLAB
+        assert (bc[:, 0] >= org[0]).all() and (bc[:, 0] < org[0] + dims[0]).all()
+        assert (bc[:, 1] >= org[1]).all() and (bc[:, 1] < org[1] + dims[1]).all()
+        assert (bz >= org[2]).all() and (bz < org[2] + dims[2]).all()
+        assert lay["n_subtiles"] == int(dims.prod()) * NSLAB
+        # every sub-tile has >= 1 block and ids are box-local
+        bt = np.asarray(lay["block_tile"])
+        assert set(range(lay["n_subtiles"])) <= set(bt.tolist())
+
+    def test_box_dims_min_floor(self, rng):
+        n_grid = 96
+        inv_dx = n_grid / 3.0
+        x = rng.uniform(0.05, 0.2, (300, 3)).astype(np.float32) * 3.0
+        lay = build_padded_layout(x, n_grid, inv_dx, box=True,
+                                  box_dims_min=(6, 6, 6))
+        assert tuple(lay["box_tiles"]) >= (6, 6, 6)
+        # floor above t clamps to t
+        lay2 = build_padded_layout(x, n_grid, inv_dx, box=True,
+                                   box_dims_min=(99, 99, 99))
+        t = n_tiles(n_grid)
+        assert tuple(lay2["box_tiles"]) == (t, t, t)
+
+    def test_cube_layout_unchanged_without_box(self, rng):
+        n_grid = 48
+        inv_dx = n_grid / 2.0
+        x = rng.uniform(0.3, 1.7, (500, 3)).astype(np.float32)
+        a = build_padded_layout(x, n_grid, inv_dx)
+        b = build_padded_layout(x, n_grid, inv_dx, box=False)
+        for k in ("perm", "occupied", "block_tile", "tile_coords"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a["box_origin"] == (0, 0, 0)
+        t = n_tiles(n_grid)
+        assert a["box_tiles"] == (t, t, t)
