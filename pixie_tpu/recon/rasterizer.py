@@ -433,8 +433,11 @@ def rasterize_tiled(params, viewmat, cam: Camera, bg_color=1.0,
         src = jnp.clip(src, 0, skey.shape[0] - 1)
         grank_pad = (jnp.take(skey, src) % n).astype(jnp.int32)
 
-        feat_r = _tile_gather(feat, perm)                # depth-ordered rows
-        stream9 = _tile_gather(feat_r, grank_pad)        # (B, 9)
+        # compose the two-level gather feat[perm][grank_pad] into ONE row
+        # gather: the inner depth-reorder would cost an (N, 9) chunked take
+        # forward AND a full 9-sort segment-sum VJP backward; composing
+        # replaces both with a single (B,) int take of perm.
+        stream9 = _tile_gather(feat, jnp.take(perm, grank_pad))  # (B, 9)
         g16s = jnp.pad(stream9, ((0, 0), (0, ROWS_IN - 9))).T
         interp = jax.default_backend() != "tpu"
         out, _carr = blend_stream(
