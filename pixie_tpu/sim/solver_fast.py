@@ -628,7 +628,24 @@ class FastMPMSolver:
         if self.use_box:
             self._box_dims_max = self._layout["box_tiles"]
         self._padded = pad_state_to_layout(self._compact_state, self._layout)
+        self._bcs_padded = self._pad_particle_bcs()
         self._compact_dirty = False
+
+    def _pad_particle_bcs(self):
+        """Particle-BC masks are per-particle in ORIGINAL order; the SoA
+        rows the substep sees are padded tile-sorted slots.  Gather each
+        mask through the layout permutation (padding slots get 0) — must
+        re-run on every resort."""
+        perm = self._layout["perm"]
+        occ = self._layout["occupied"]
+
+        def pad_bc(b):
+            if isinstance(b, bc_mod.PARTICLE_BC_TYPES):
+                m = jnp.take(jnp.asarray(b.mask), perm) * occ
+                return b.replace(mask=m)
+            return b
+
+        return tuple(pad_bc(b) for b in self.bcs)
 
     def _needs_resort(self) -> bool:
         """True when any occupied particle drifted beyond the +/-1 cell the
@@ -665,14 +682,14 @@ class FastMPMSolver:
         if use_fused:
             self._padded = simulate_substeps_fused(
                 self._padded, lay["block_tile"], lay["tile_coords"],
-                lay["occupied"], self.cfg, self.bcs, jnp.float32(self.time),
+                lay["occupied"], self.cfg, self._bcs_padded, jnp.float32(self.time),
                 float(dt), n_substeps, lay["n_blocks"],
                 interpret=self.interpret, box_dims=box_dims, box_org=box_org,
             )
         else:
             self._padded = simulate_substeps_fast(
                 self._padded, lay["block_tile"], lay["tile_coords"],
-                lay["occupied"], self.cfg, self.bcs, jnp.float32(self.time),
+                lay["occupied"], self.cfg, self._bcs_padded, jnp.float32(self.time),
                 jnp.float32(dt), n_substeps, lay["n_blocks"],
                 interpret=self.interpret, box_dims=box_dims, box_org=box_org,
             )

@@ -240,3 +240,36 @@ class TestFusedSubstep:
         init = np.tile(np.array([1e-3, 0, 0, 1e-3, 0, 1e-3], np.float32),
                        (5000, 1))
         assert np.abs(np.asarray(got.cov) - init).max() > 1e-6
+
+
+class TestFastPathParticleBCs:
+    def test_impulse_mask_permuted_to_slot_order(self):
+        """Particle-BC masks are per-particle in ORIGINAL order; the fast
+        path must gather them through the layout permutation (regression:
+        it crashed on shape mismatch — or, at N == padded N, would have
+        silently impulsed the WRONG particles)."""
+        from pixie_tpu.sim import bc as B
+        from pixie_tpu.sim.solver import simulate_substeps
+
+        rng = np.random.default_rng(0)
+        n = 500
+        cfg = MPMConfig(n_grid=24, grid_lim=2.0, gravity=(0.0, 0.0, -9.8))
+        x = rng.uniform(0.6, 1.4, (n, 3)).astype(np.float32)
+        st = finalize_mu_lam(make_state(
+            jnp.asarray(x), jnp.full((n,), 1e-6), density=300.0, E=1e5,
+            nu=0.3))
+        mask = (x[:, 2] > 1.0).astype(np.float32)
+        bc = B.ParticleImpulse(
+            force=jnp.array([0.0, 0.0, 50.0]), mask=jnp.asarray(mask),
+            start_time=0.0, end_time=1.0)
+
+        ref = simulate_substeps(st, cfg, (bc,), jnp.float32(0.0),
+                                jnp.float32(1e-4), 10)
+        fs = FastMPMSolver(st, cfg, (bc,), interpret=True)
+        fs.step_frame(10, 1e-4)
+        vr, vf = np.asarray(ref.v), np.asarray(fs.state.v)
+        rel = np.abs(vr - vf).max() / np.abs(vr).max()
+        assert rel < 1e-5
+        # the impulse must land on exactly the masked group
+        m = mask > 0
+        assert vf[m, 2].mean() > 100.0 and abs(vf[~m, 2].mean()) < 50.0
