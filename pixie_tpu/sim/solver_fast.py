@@ -669,10 +669,18 @@ class FastMPMSolver:
                 )
             self._resort()
         lay = self._layout
+        # fused path per FRAME: particle BCs are usually time-bounded (the
+        # tree config's impulse covers a few substeps at t=0), so frames
+        # whose [t0, t1) window no particle BC intersects run the fused
+        # kernel; only BC-active frames fall back to the two-kernel path.
+        t0, t1 = self.time, self.time + n_substeps * dt
+        bc_active = any(
+            isinstance(b, bc_mod.PARTICLE_BC_TYPES)
+            and b.start_time < t1 and b.end_time > t0
+            for b in self.bcs
+        )
         use_fused = (
-            os.environ.get("PIXIE_FUSED", "1") == "1"
-            and not any(isinstance(b, bc_mod.PARTICLE_BC_TYPES)
-                        for b in self.bcs)
+            os.environ.get("PIXIE_FUSED", "1") == "1" and not bc_active
         )
         if self.use_box:
             box_dims = tuple(lay["box_tiles"])
@@ -680,9 +688,15 @@ class FastMPMSolver:
         else:
             box_dims, box_org = None, None
         if use_fused:
+            # inactive particle BCs are no-ops this frame; drop them so the
+            # fused driver's no-particle-BC precondition holds
+            bcs_frame = tuple(
+                b for b in self._bcs_padded
+                if not isinstance(b, bc_mod.PARTICLE_BC_TYPES)
+            )
             self._padded = simulate_substeps_fused(
                 self._padded, lay["block_tile"], lay["tile_coords"],
-                lay["occupied"], self.cfg, self._bcs_padded, jnp.float32(self.time),
+                lay["occupied"], self.cfg, bcs_frame, jnp.float32(self.time),
                 float(dt), n_substeps, lay["n_blocks"],
                 interpret=self.interpret, box_dims=box_dims, box_org=box_org,
             )

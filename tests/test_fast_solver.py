@@ -273,3 +273,48 @@ class TestFastPathParticleBCs:
         # the impulse must land on exactly the masked group
         m = mask > 0
         assert vf[m, 2].mean() > 100.0 and abs(vf[~m, 2].mean()) < 50.0
+
+    def test_fused_dispatch_is_frame_granular(self, monkeypatch):
+        """A time-bounded impulse only forces the two-kernel path on frames
+        its window intersects; later frames run the FUSED kernel and the
+        full rollout still matches the reference path."""
+        import pixie_tpu.sim.solver_fast as sfm
+        from pixie_tpu.sim import bc as B
+        from pixie_tpu.sim.solver import simulate_substeps
+
+        rng = np.random.default_rng(0)
+        n = 400
+        cfg = MPMConfig(n_grid=24, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        update_cov_with_F=False)
+        x = rng.uniform(0.6, 1.4, (n, 3)).astype(np.float32)
+        st = finalize_mu_lam(make_state(
+            jnp.asarray(x), jnp.full((n,), 1e-6), density=300.0, E=1e5,
+            nu=0.3))
+        mask = (x[:, 2] > 1.0).astype(np.float32)
+        bc = B.ParticleImpulse(
+            force=jnp.array([0.0, 0.0, 20.0]), mask=jnp.asarray(mask),
+            start_time=0.0, end_time=5e-4)  # frame 0 only
+
+        ref = st
+        for f in range(2):
+            ref = simulate_substeps(ref, cfg, (bc,), jnp.float32(f * 1e-3),
+                                    jnp.float32(1e-4), 10)
+
+        calls = []
+        real_fused = sfm.simulate_substeps_fused
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real_fused(*a, **kw)
+
+        monkeypatch.setattr(sfm, "simulate_substeps_fused", spy)
+        monkeypatch.setenv("PIXIE_FUSED", "1")
+        fs = FastMPMSolver(st, cfg, (bc,), interpret=True)
+        fs.step_frame(10, 1e-4)
+        assert not calls, "BC-active frame must use the two-kernel path"
+        fs.step_frame(10, 1e-4)
+        assert calls, "BC-inactive frame must use the fused path"
+
+        vr, vf = np.asarray(ref.v), np.asarray(fs.state.v)
+        assert np.abs(vr - vf).max() / np.abs(vr).max() < 2e-5
+        assert np.abs(np.asarray(ref.x) - np.asarray(fs.state.x)).max() < 1e-5
