@@ -43,10 +43,15 @@ def _particle_spec(mesh: Mesh) -> P:
     return P(tuple(mesh.axis_names))
 
 
-def shard_particles(mesh: Mesh, state: MPMState) -> MPMState:
+def shard_particles(mesh: Mesh, state: MPMState, bcs=None):
     """Pad N to a multiple of the mesh size (padding marked selection=1, i.e.
     excluded from simulation exactly like the reference's particle_selection,
-    mpm_solver_warp.py kernels) and place every per-particle array sharded."""
+    mpm_solver_warp.py kernels) and place every per-particle array sharded.
+
+    With ``bcs``, particle-BC masks — per-particle arrays living OUTSIDE the
+    state pytree — are zero-padded and sharded the same way, and
+    ``(state, bcs)`` is returned; a full-length replicated mask inside a
+    shard_map body would broadcast against N/n_dev-row shards."""
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n = state.n_particles
     pad = (-n) % n_dev
@@ -72,7 +77,19 @@ def shard_particles(mesh: Mesh, state: MPMState) -> MPMState:
             return jax.device_put(a, sharding)
         return jax.device_put(a, NamedSharding(mesh, P()))
 
-    return jax.tree.map(put, state)
+    state = jax.tree.map(put, state)
+    if bcs is None:
+        return state
+
+    def pad_put_bc(b):
+        if isinstance(b, bc_mod.PARTICLE_BC_TYPES):
+            m = jnp.asarray(b.mask)
+            if m.shape[0] != n_tot:
+                m = jnp.pad(m, (0, n_tot - m.shape[0]))
+            return b.replace(mask=jax.device_put(m, sharding))
+        return b
+
+    return state, tuple(pad_put_bc(b) for b in bcs)
 
 
 @functools.partial(
@@ -87,29 +104,37 @@ def simulate_substeps_sharded(
     axes = tuple(mesh.axis_names)
     spec = _particle_spec(mesh)
     state_specs = jax.tree.map(lambda _: spec, state)
+    n_tot = state.x.shape[0]
+    # particle-BC masks ride sharded like the state rows (shard_particles
+    # pads + places them); every other BC leaf is replicated
+    bc_specs = jax.tree.map(
+        lambda a: spec if (getattr(a, "ndim", 0) >= 1
+                           and a.shape[0] == n_tot) else P(),
+        bcs,
+    )
 
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(state_specs,), out_specs=state_specs,
-        check_vma=False,
+        shard_map, mesh=mesh, in_specs=(state_specs, bc_specs),
+        out_specs=state_specs, check_vma=False,
     )
-    def run(st: MPMState) -> MPMState:
+    def run(st: MPMState, bcs_l) -> MPMState:
         def body(carry, step):
             st = carry
             t = time0 + step.astype(jnp.float32) * dt
-            for b in bcs:
+            for b in bcs_l:
                 if isinstance(b, bc_mod.PARTICLE_BC_TYPES):
                     st = b.apply(t, dt, st)
             st = compute_stress_from_F_trial(st, cfg, dt)
             grid = p2g(st, cfg, dt)               # local shard's scatter
             grid = jax.lax.psum(grid, axes)       # the one collective
-            grid_v = grid_update(grid, cfg, dt, t, bcs)  # replicated compute
+            grid_v = grid_update(grid, cfg, dt, t, bcs_l)  # replicated compute
             st = g2p(st, grid_v, cfg, dt)
             return st, None
 
         st, _ = jax.lax.scan(body, st, jnp.arange(n_substeps))
         return st
 
-    return run(state)
+    return run(state, bcs)
 
 
 # ---------------------------------------------------------------------------

@@ -225,3 +225,32 @@ class TestHaloSharded:
         # all particles appear exactly once
         allp = np.sort(np.concatenate([perm[d][occ[d]] for d in range(n_dev)]))
         np.testing.assert_array_equal(allp, np.arange(len(x)))
+
+
+class TestShardedParticleBCs:
+    def test_impulse_mask_sharded_with_particles(self):
+        """Particle-BC masks live OUTSIDE the state pytree; shard_particles
+        must pad + shard them alongside the rows (regression: a replicated
+        full-length mask broadcast against N/n_dev-row shards and crashed)."""
+        from pixie_tpu.sim.bc import ParticleImpulse
+
+        n = 500  # NOT a multiple of 8: exercises mask padding
+        st = _state(n)
+        x = np.asarray(st.x)
+        mask = (x[:, 2] > 1.0).astype(np.float32)
+        bc = ParticleImpulse(
+            force=jnp.array([0.0, 0.0, 20.0]), mask=jnp.asarray(mask),
+            start_time=0.0, end_time=1.0)
+        cfg = MPMConfig(n_grid=24, grid_lim=2.0, gravity=(0.0, 0.0, -9.8))
+
+        ref = simulate_substeps(st, cfg, (bc,), jnp.float32(0.0),
+                                jnp.float32(1e-4), 5)
+
+        mesh = get_mesh(dp=4, sp=2)
+        sharded, bcs_s = shard_particles(mesh, _state(n), (bc,))
+        out = simulate_substeps_sharded(sharded, cfg, bcs_s, jnp.float32(0.0),
+                                        jnp.float32(1e-4), 5, mesh)
+        vr, vf = np.asarray(ref.v), np.asarray(out.v)[:n]
+        assert np.abs(vr - vf).max() / np.abs(vr).max() < 1e-5
+        m = mask > 0
+        assert vf[m, 2].mean() > 10.0 * max(abs(vf[~m, 2].mean()), 1e-3)
