@@ -124,6 +124,49 @@ def bench_mpm(n_particles: int, substeps: int, reps: int, fast: bool = True):
     return rate
 
 
+def bench_realscene(n_particles: int = 500_000, frames: int = 2):
+    """BASELINE config #5 at bench scale: 500k-particle sand/snow/plasticine
+    scene, n_grid=120 / grid_lim=3.0, 400 substeps/frame (reference
+    config/real_scene/custom_bonsai_config.json timing scheme).  Same shapes
+    as scripts/bench_realscene.py so the compile caches alias."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixie_tpu.sim.solver_fast import FastMPMSolver
+    from pixie_tpu.sim.types import MPMConfig, finalize_mu_lam, make_state
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from bench_realscene import build_scene
+
+    x, vol, density, E, nu, material, ys = build_scene(n_particles)
+    st = finalize_mu_lam(make_state(
+        x, vol, density=density, E=E, nu=nu, material=material,
+        yield_stress=ys))
+    cfg = MPMConfig(n_grid=120, grid_lim=3.0, gravity=(0.0, 0.0, -9.8),
+                    grid_v_damping_scale=0.9999, rpic_damping=0.0)
+    solver = FastMPMSolver(st, cfg)
+    n_sub = 400
+
+    def force():
+        return float(jnp.sum(solver._padded.x))
+
+    t0 = time.time()
+    solver.step_frame(n_sub, 1e-4)
+    force()
+    log(f"realscene compile+first: {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(frames):
+        t0 = time.time()
+        solver.step_frame(n_sub, 1e-4)
+        force()
+        times.append(time.time() - t0)
+    rate = n_sub / float(np.median(times))
+    log(f"realscene: {rate:.1f} substeps/s @ {n_particles} particles, "
+        f"n_grid=120 (median of {frames} frames)")
+    return rate
+
+
 def bench_field(quick: bool):
     """Voxelizer query + f3rm train step (VERDICT r2 #3: the previously
     unbenchmarked stages).  Reference: voxelize.py:17-141,
@@ -224,6 +267,7 @@ def main():
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--skip-mpm", action="store_true")
     ap.add_argument("--skip-field", action="store_true")
+    ap.add_argument("--skip-realscene", action="store_true")
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
@@ -238,6 +282,8 @@ def main():
         mpm_rate = None if args.skip_mpm else bench_mpm(mpm_particles, 100, 5)
 
     field_ms = None if args.skip_field else bench_field(args.quick)
+    rs_rate = (None if (args.quick or args.skip_realscene or args.skip_mpm)
+               else bench_realscene())
 
     if mpm_rate is not None:
         log(f"aux: mpm_substeps_per_s={mpm_rate:.1f}")
@@ -258,6 +304,9 @@ def main():
     if field_ms is not None:
         out["aux_voxel_query_ms"] = round(field_ms[0], 1)
         out["aux_field_step_ms"] = round(field_ms[1], 1)
+    if rs_rate is not None:
+        out["aux_realscene_substeps_per_sec"] = round(float(rs_rate), 1)
+        out["aux_realscene_particles"] = 500_000
     print(json.dumps(out))
 
 

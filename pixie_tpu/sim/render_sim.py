@@ -177,12 +177,48 @@ class SimRenderer:
         return Camera(width=wp, height=hp, fx=fx, fy=fy,
                       cx=self.width / 2.0, cy=self.height / 2.0)
 
-    def render_frame(self, frame_idx: int, x_mpm_gs, cov6_mpm_gs):
-        """Rasterize one simulation frame; returns (H, W, 3) float32 in
-        [0, 1] plus the world-frame (pos, cov6) used (for PLY export)."""
+    def _make_render_jit(self, cam, degree: int):
+        """One jitted program for the whole per-frame compute: SH colors at
+        the deformed positions, covariance assembly, and the tile rasterize.
+
+        The eager version of this path cost ~15 s/frame on the remote axon
+        runtime — eval_sh alone is ~60 elementwise dispatches, each paying
+        the tunnel round-trip — versus one dispatch + ~5 MB of input
+        transfer here (docs/DESIGN.md "Benchmarking traps")."""
         from pixie_tpu.recon import gaussians as G  # noqa: PLC0415
         from pixie_tpu.recon.rasterizer import rasterize_tiled  # noqa: PLC0415
 
+        bg = 1.0 if self.white_bg else 0.0
+
+        @jax.jit
+        def render(shs, opacity, pos_r, cov_r, vm):
+            # camera center in world space (convert_SH, render_utils.py:131)
+            cam_pos = -vm[:3, :3].T @ vm[:3, 3]
+            dirs = pos_r - cam_pos[None]
+            dirs = dirs / jnp.maximum(
+                jnp.sqrt(jnp.sum(dirs * dirs, axis=1, keepdims=True)), 1e-8)
+            colors = jnp.clip(G.eval_sh(shs, dirs, degree), 0.0, None)
+            # upper-packed cov6 -> full (N, 3, 3) for the precomp path
+            c = cov_r
+            cov_mat = jnp.stack([
+                jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
+                jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
+                jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
+            ], 1)
+            params = {
+                "xyz": pos_r,
+                "cov3d_precomp": cov_mat,
+                "colors_precomp": colors,
+                "opacity_precomp": opacity[:, 0],
+            }
+            img, _alpha = rasterize_tiled(params, vm, cam, bg_color=bg)
+            return jnp.clip(img[: self.height, : self.width], 0.0, 1.0)
+
+        return render
+
+    def render_frame(self, frame_idx: int, x_mpm_gs, cov6_mpm_gs):
+        """Rasterize one simulation frame; returns (H, W, 3) float32 in
+        [0, 1] plus the world-frame (pos, cov6) used (for PLY export)."""
         pos_w = self.to_world(x_mpm_gs).astype(np.float32)
         cov_w = self.cov_to_world(cov6_mpm_gs).astype(np.float32)
         opacity = self.opacity_act
@@ -198,36 +234,19 @@ class SimRenderer:
 
         vm = np.asarray(self.viewmats[frame_idx], np.float32)
         cam = self._camera()
-        # camera center in world space (convert_SH, render_utils.py:131)
-        cam_pos = -vm[:3, :3].T @ vm[:3, 3]
-        dirs = pos_r - cam_pos[None]
-        dirs = dirs / np.maximum(
-            np.linalg.norm(dirs, axis=1, keepdims=True), 1e-8)
         degree = {1: 0, 4: 1, 9: 2, 16: 3}.get(shs.shape[1], 3)
-        colors = jnp.clip(
-            G.eval_sh(jnp.asarray(shs), jnp.asarray(dirs), degree), 0.0, None)
-
-        # full covariance matrices for the precomp path
-        cov_mat = np.zeros((len(cov_r), 3, 3), np.float32)
-        cov_mat[:, 0, 0] = cov_r[:, 0]
-        cov_mat[:, 0, 1] = cov_mat[:, 1, 0] = cov_r[:, 1]
-        cov_mat[:, 0, 2] = cov_mat[:, 2, 0] = cov_r[:, 2]
-        cov_mat[:, 1, 1] = cov_r[:, 3]
-        cov_mat[:, 1, 2] = cov_mat[:, 2, 1] = cov_r[:, 4]
-        cov_mat[:, 2, 2] = cov_r[:, 5]
-
-        params = {
-            "xyz": jnp.asarray(pos_r),
-            "cov3d_precomp": jnp.asarray(cov_mat),
-            "colors_precomp": colors,
-            "opacity_precomp": jnp.asarray(opacity[:, 0]),
-        }
-        img, _alpha = rasterize_tiled(
-            params, jnp.asarray(vm), cam,
-            bg_color=1.0 if self.white_bg else 0.0,
-        )
-        img = np.asarray(jax.device_get(img))[: self.height, : self.width]
-        return np.clip(img, 0.0, 1.0), (pos_w, cov_w)
+        key = (cam, degree)
+        if self._static_parts.get("render_key") != key:
+            self._static_parts["render_key"] = key
+            self._static_parts["render_jit"] = self._make_render_jit(cam, degree)
+            # gaussian payload is rollout-constant: transfer it once
+            self._static_parts["shs_dev"] = jax.device_put(shs)
+            self._static_parts["opacity_dev"] = jax.device_put(
+                opacity.astype(np.float32))
+        img = self._static_parts["render_jit"](
+            self._static_parts["shs_dev"], self._static_parts["opacity_dev"],
+            jnp.asarray(pos_r), jnp.asarray(cov_r), jnp.asarray(vm))
+        return np.asarray(jax.device_get(img)), (pos_w, cov_w)
 
     def export_gaussian_ply(self, path, pos_world, cov6_world):
         """Per-frame gaussian-format PLY (export_gaussians_to_ply,
