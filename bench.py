@@ -124,11 +124,13 @@ def bench_mpm(n_particles: int, substeps: int, reps: int, fast: bool = True):
     return rate
 
 
-def bench_realscene(n_particles: int = 500_000, frames: int = 2):
+def bench_realscene(n_particles: int = 500_000, frames: int = 3):
     """BASELINE config #5 at bench scale: 500k-particle sand/snow/plasticine
     scene, n_grid=120 / grid_lim=3.0, 400 substeps/frame (reference
     config/real_scene/custom_bonsai_config.json timing scheme).  Same shapes
-    as scripts/bench_realscene.py so the compile caches alias."""
+    as scripts/bench_realscene.py so the compile caches alias.
+
+    Returns (substeps_per_s, n_particles)."""
     import jax
     import jax.numpy as jnp
 
@@ -155,16 +157,20 @@ def bench_realscene(n_particles: int = 500_000, frames: int = 2):
     solver.step_frame(n_sub, 1e-4)
     force()
     log(f"realscene compile+first: {time.time()-t0:.1f}s")
+    # warm-up: absorb residual-async / resort-recompile outliers (ADVICE r3)
+    for _ in range(2):
+        solver.step_frame(n_sub, 1e-4)
+        force()
     times = []
-    for _ in range(frames):
+    for _ in range(max(frames, 3)):
         t0 = time.time()
         solver.step_frame(n_sub, 1e-4)
         force()
         times.append(time.time() - t0)
     rate = n_sub / float(np.median(times))
     log(f"realscene: {rate:.1f} substeps/s @ {n_particles} particles, "
-        f"n_grid=120 (median of {frames} frames)")
-    return rate
+        f"n_grid=120 (median of {len(times)} frames)")
+    return rate, n_particles
 
 
 def bench_field(quick: bool):
@@ -271,19 +277,39 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
+    # Stage fault isolation (VERDICT r3 weak #1: an un-isolated realscene
+    # compile crash zeroed the whole BENCH_r03 contract).  Each stage runs
+    # under guard(); a failing stage records its error and the JSON line is
+    # ALWAYS printed with whatever succeeded.
+    errors = {}
+
+    def guard(name, fn, *a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # noqa: BLE001 — bench must never die mid-run
+            import traceback
+
+            errors[name] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            log(f"STAGE FAILED [{name}]: {errors[name]}")
+            traceback.print_exc(file=sys.stderr)
+            return None
+
     if args.quick:
         mpm_particles = 2000
-        unet_rate = bench_unet(batch=1, iters=2, grid=16, feat_ch=64)
-        mpm_rate = None if args.skip_mpm else bench_mpm(mpm_particles, 20, 2,
-                                                        fast=False)
+        unet_rate = guard("unet", bench_unet, batch=1, iters=2, grid=16,
+                          feat_ch=64)
+        mpm_rate = None if args.skip_mpm else guard(
+            "mpm", bench_mpm, mpm_particles, 20, 2, fast=False)
     else:
         mpm_particles = args.particles
-        unet_rate = bench_unet(batch=args.batch, iters=10)
-        mpm_rate = None if args.skip_mpm else bench_mpm(mpm_particles, 100, 5)
+        unet_rate = guard("unet", bench_unet, batch=args.batch, iters=10)
+        mpm_rate = None if args.skip_mpm else guard(
+            "mpm", bench_mpm, mpm_particles, 100, 5)
 
-    field_ms = None if args.skip_field else bench_field(args.quick)
-    rs_rate = (None if (args.quick or args.skip_realscene or args.skip_mpm)
-               else bench_realscene())
+    field_ms = None if args.skip_field else guard("field", bench_field,
+                                                  args.quick)
+    rs = (None if (args.quick or args.skip_realscene or args.skip_mpm)
+          else guard("realscene", bench_realscene))
 
     if mpm_rate is not None:
         log(f"aux: mpm_substeps_per_s={mpm_rate:.1f}")
@@ -294,9 +320,10 @@ def main():
     baseline_grids_per_sec = 10.0
     out = {
         "metric": "unet_voxel_grids_per_sec",
-        "value": round(float(unet_rate), 3),
+        "value": round(float(unet_rate), 3) if unet_rate is not None else None,
         "unit": "grids/s (64^3x768 CLIP -> 8-class + 3-channel material fields)",
-        "vs_baseline": round(float(unet_rate) / baseline_grids_per_sec, 3),
+        "vs_baseline": (round(float(unet_rate) / baseline_grids_per_sec, 3)
+                        if unet_rate is not None else None),
     }
     if mpm_rate is not None:
         out["aux_mpm_substeps_per_sec"] = round(float(mpm_rate), 1)
@@ -304,9 +331,11 @@ def main():
     if field_ms is not None:
         out["aux_voxel_query_ms"] = round(field_ms[0], 1)
         out["aux_field_step_ms"] = round(field_ms[1], 1)
-    if rs_rate is not None:
-        out["aux_realscene_substeps_per_sec"] = round(float(rs_rate), 1)
-        out["aux_realscene_particles"] = 500_000
+    if rs is not None:
+        out["aux_realscene_substeps_per_sec"] = round(float(rs[0]), 1)
+        out["aux_realscene_particles"] = rs[1]
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -130,7 +130,11 @@ def _make_fused_kernel(cfg, dt: float, rpic: float, update_cov: bool):
         cov = [d[DX_COV + k] for k in range(6)]
         mass, vol = s[ST_MASS], s[ST_VOL]
         mat, sel, bulk = s[ST_MAT], s[ST_SEL], s[ST_BULK]
-        tc = [tc_ref[i, a].astype(jnp.float32) for a in range(3)]
+        # tc_ref is the FLATTENED (3*NB,) tile-coord table: a 2-D (NB, 3)
+        # SMEM scalar-prefetch operand pads its minor dim to 128 lanes
+        # (NB*128*4 bytes — 2.2 MB at real-scene block counts, overflowing
+        # the 1 MB SMEM; this zeroed BENCH_r03).  1-D stays NB*3*4 bytes.
+        tc = [tc_ref[i * 3 + a].astype(jnp.float32) for a in range(3)]
 
         # ---- G2P(s): gather v / C / grad_v at x(s) ------------------------
         u0x, fxx = _axis_offsets(x[0], tc[0], inv_dx, 0)
@@ -268,6 +272,7 @@ def fused_substep(dyn, stat, win_v, block_tile, tile_coords, cfg, dt: float,
     -> (dyn', windows (T3, 4*WIN_S, WIN_S^2)) for the NEXT grid stage.
     """
     nb = block_tile.shape[0]
+    tile_coords = jnp.asarray(tile_coords).reshape(-1)  # SMEM: 1-D only
     kernel = _make_fused_kernel(
         cfg, float(dt), float(cfg.rpic_damping), bool(cfg.update_cov_with_F))
     grid_spec = pltpu.PrefetchScalarGridSpec(
