@@ -124,6 +124,26 @@ def load_blender_dataset(data_dir: str | Path, max_images: int | None = None):
     }
 
 
+def load_dataset(data_dir: str | Path, max_images: int | None = None):
+    """Capture-format dispatcher: Blender/BlenderNeRF ``transforms.json``
+    or a COLMAP sparse model (real-scene captures — the reference's
+    USE_COLMAP_DATAPARSER switch, f3rm/f3rm_config.py:40-52).  Both return
+    the same {images, c2w, intrinsics, hw} contract; COLMAP adds the
+    dataparser transform/scale + seed points3d."""
+    data_dir = Path(data_dir)
+    for cand in ("transforms.json", "transforms_train.json"):
+        if (data_dir / cand).exists():
+            return load_blender_dataset(data_dir, max_images)
+    from pixie_tpu.recon.colmap import (  # noqa: PLC0415
+        is_colmap_capture, load_colmap_dataset)
+
+    if is_colmap_capture(data_dir):
+        return load_colmap_dataset(data_dir, max_images)
+    raise FileNotFoundError(
+        f"{data_dir}: neither a transforms.json capture nor a COLMAP "
+        f"sparse model")
+
+
 def make_ray_fn(dataset, feature_maps=None):
     """Device-side random ray sampler: (rng, n) -> origins, dirs, rgb[, feat].
 
@@ -249,7 +269,16 @@ def train_feature_field(
     """Train nerf + (optional) feature field; writes an orbax checkpoint."""
     cfg = cfg or FieldTrainConfig(max_iterations=max_iterations)
     output_dir = Path(output_dir)
-    dataset = load_blender_dataset(data_dir)
+    dataset = load_dataset(data_dir)
+    if "dataparser_transform" in dataset:
+        # real-scene contract: the voxel/map stages undo this to get world
+        # coordinates (map_pred_to_coords.transform_nerf_to_world)
+        from pixie_tpu.recon.colmap import (  # noqa: PLC0415
+            write_dataparser_transforms)
+
+        write_dataparser_transforms(
+            output_dir / "dataparser_transforms.json",
+            dataset["dataparser_transform"], dataset["dataparser_scale"])
     with_features = features_path is not None and Path(features_path).exists()
     feature_maps = np.load(features_path) if with_features else None
     if feature_maps is not None:

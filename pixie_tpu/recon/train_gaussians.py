@@ -29,7 +29,7 @@ import optax
 
 from pixie_tpu.recon import gaussians as G
 from pixie_tpu.recon.rasterizer import Camera, rasterize, rasterize_tiled
-from pixie_tpu.recon.train_field import load_blender_dataset
+from pixie_tpu.recon.train_field import load_dataset
 
 
 @dataclasses.dataclass
@@ -200,7 +200,11 @@ def train_gaussian_splatting(
     rng = np.random.default_rng(cfg.seed)
     output_dir = Path(output_dir)
 
-    dataset = load_blender_dataset(data_dir)
+    dataset = load_dataset(data_dir)
+    if init_points is None and "points3d" in dataset:
+        # COLMAP capture: seed from the sparse reconstruction (the
+        # reference's fetchPly/BasicPointCloud path, scene/__init__.py)
+        init_points = np.asarray(dataset["points3d"], np.float32)
     images = dataset["images"]
     if image_downscale > 1:
         images = images[:, ::image_downscale, ::image_downscale]

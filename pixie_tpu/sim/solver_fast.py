@@ -679,8 +679,13 @@ class FastMPMSolver:
             and b.start_time < t1 and b.end_time > t0
             for b in self.bcs
         )
+        # default OFF: the r4 TPU A/B measured fused as equal-or-worse at
+        # every scale (100k: 112.8 vs 121.6 substeps/s; realscene 500k/120:
+        # 19.9 vs 20.6) with 2-3x longer compiles — consistent with the
+        # per-block floor model (docs/DESIGN.md): same block count, same
+        # pass count, no win from fusing.  Flag kept for A/B forensics.
         use_fused = (
-            os.environ.get("PIXIE_FUSED", "1") == "1" and not bc_active
+            os.environ.get("PIXIE_FUSED", "0") == "1" and not bc_active
         )
         if self.use_box:
             box_dims = tuple(lay["box_tiles"])
