@@ -173,6 +173,55 @@ def bench_realscene(n_particles: int = 500_000, frames: int = 3):
     return rate, n_particles
 
 
+def bench_render_sim(n_gaussians: int = 100_000, res: int = 800,
+                     frames: int = 4):
+    """In-loop GS sim-render cost (the reference's flagship output path,
+    gs_simulation.py:573-631).  Same shapes as scripts/bench_render_sim.py
+    so compile caches alias.  Returns median ms/frame with device-resident
+    inputs (the production driver feeds solver-state device arrays)."""
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from pixie_tpu.sim.render_sim import SimRenderer
+
+    rng = np.random.default_rng(0)
+    x_mpm = rng.uniform(0.8, 1.2, (n_gaussians, 3)).astype(np.float32)
+    s = rng.uniform(0.002, 0.008, (n_gaussians, 3)).astype(np.float32)
+    cov6 = np.stack([s[:, 0] ** 2, 0 * s[:, 0], 0 * s[:, 0],
+                     s[:, 1] ** 2, 0 * s[:, 0], s[:, 2] ** 2], -1)
+    shs = rng.normal(0, 0.3, (n_gaussians, 16, 3)).astype(np.float32)
+    shs[:, 0] += 1.0
+    opacity = rng.uniform(0.3, 0.95, (n_gaussians, 1)).astype(np.float32)
+    camera_params = {
+        "mpm_space_viewpoint_center": [1.0, 1.0, 1.0],
+        "mpm_space_vertical_upward_axis": [0.0, 0.0, 1.0],
+        "default_camera_index": -1, "init_azimuthm": 0.0,
+        "init_elevation": 20.0, "init_radius": 2.2, "move_camera": True,
+        "delta_a": 1.0, "delta_e": 0.0, "delta_r": 0.0,
+    }
+    renderer = SimRenderer.from_camera_params(
+        camera_params, model_path=None, n_frames=frames + 2,
+        shs=shs, opacity_act=opacity, scale_origin=0.5,
+        original_mean_pos=np.zeros(3, np.float32), rotation_matrices=[],
+        z_shift=0.0)
+    renderer.width = renderer.height = res
+    t0 = time.time()
+    renderer.render_frame(0, x_mpm, cov6)
+    log(f"render-sim compile+first: {time.time()-t0:.1f}s")
+    staged = [jax.device_put(x_mpm + np.float32(0.002 * f))
+              for f in range(1, frames + 1)]
+    cov_dev = jax.device_put(cov6)
+    times = []
+    for f, xf in enumerate(staged, start=1):
+        t0 = time.time()
+        renderer.render_frame(f, xf, cov_dev)
+        times.append(time.time() - t0)
+    ms = float(np.median(times)) * 1e3
+    log(f"render-sim: {ms:.1f} ms/frame @ {n_gaussians} gaussians, {res}^2")
+    return ms
+
+
 def bench_field(quick: bool):
     """Voxelizer query + f3rm train step (VERDICT r2 #3: the previously
     unbenchmarked stages).  Reference: voxelize.py:17-141,

@@ -78,7 +78,8 @@ def tile_id_of(base_cell: jnp.ndarray, n_grid: int) -> jnp.ndarray:
 
 
 def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float,
-                        box: bool = False, box_dims_min=None):
+                        box: bool = False, box_dims_min=None,
+                        n_blocks_min: int = 0):
     """Host-side layout build (amortized; runs at setup and every resort).
 
     Returns a dict with:
@@ -145,9 +146,14 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float,
     blocks_per_tile = np.maximum((counts + PBLK - 1) // PBLK, 1)
     n_real_blocks = int(blocks_per_tile.sum())
     # bucket the block count so re-sorts reuse compiled programs; filler
-    # blocks extend the last sub-tile (all-padding, accumulate zeros)
+    # blocks extend the last sub-tile (all-padding, accumulate zeros).
+    # ``n_blocks_min`` (the caller's running max) keeps the count monotone:
+    # a settling scene whose real block count oscillates across a bucket
+    # boundary would otherwise alternate program shapes every resort, each
+    # flip paying a Mosaic compile (or a multi-second remote cache load)
     bucket = 128
-    n_blocks = int(-(-n_real_blocks // bucket) * bucket)
+    n_blocks = max(int(-(-n_real_blocks // bucket) * bucket),
+                   int(n_blocks_min))
     blocks_per_tile[n_sub - 1] += n_blocks - n_real_blocks
 
     perm = np.zeros(n_blocks * PBLK, np.int32)

@@ -105,11 +105,21 @@ def get_covariance(params, scaling_modifier: float = 1.0):
 
 
 def covariance_upper(params, scaling_modifier: float = 1.0):
-    """Packed upper-triangular (N,6) like the reference's strip_symmetric."""
-    c = get_covariance(params, scaling_modifier)
+    """Packed upper-triangular (N,6) like the reference's strip_symmetric.
+
+    Computed elementwise (Sigma_ab = sum_j m_aj m_bj with m = R diag(s)):
+    the batched (N,3,3) einsum in get_covariance lowers as 3x3 matmuls that
+    pad the lane axis 3->128 (sim/mat3.py rule)."""
+    s = get_scaling(params) * scaling_modifier
+    r = quat_to_rotmat(get_rotation(params))
+    m = r * s[:, None, :]
+
+    def dot(a, b):
+        return (m[:, a, 0] * m[:, b, 0] + m[:, a, 1] * m[:, b, 1]
+                + m[:, a, 2] * m[:, b, 2])
+
     return jnp.stack(
-        [c[:, 0, 0], c[:, 0, 1], c[:, 0, 2], c[:, 1, 1], c[:, 1, 2], c[:, 2, 2]], -1
-    )
+        [dot(0, 0), dot(0, 1), dot(0, 2), dot(1, 1), dot(1, 2), dot(2, 2)], -1)
 
 
 # -- SH color evaluation (utils/sh_utils.py eval_sh, degree <= 3) -------------

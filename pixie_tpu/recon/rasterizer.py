@@ -59,6 +59,33 @@ class Camera:
         return Camera(height, width, fx, fy, width / 2.0, height / 2.0)
 
 
+_PACK6 = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+
+def congruence6(r):
+    """(6,6) matrix T such that packed(R C R^T) = packed(C) @ T.T for any
+    symmetric C packed upper-triangular [c00,c01,c02,c11,c12,c22].
+
+    D_ab = sum_ij R_ai R_bj C_ij is linear in the 6 packed entries:
+    T[p,q] = R_ai R_bj + R_aj R_bi (i<j) or R_ai R_bi (i==j), with
+    p=(a,b), q=(i,j) over the packed index order.  Works for traced jnp
+    and host numpy 3x3 inputs alike."""
+    rows = []
+    for a, b in _PACK6:
+        row = []
+        for i, j in _PACK6:
+            v = r[a, i] * r[b, j]
+            if i != j:
+                v = v + r[a, j] * r[b, i]
+            row.append(v)
+        rows.append(row)
+    if hasattr(r, "aval") or isinstance(r, jnp.ndarray):
+        return jnp.stack([jnp.stack(row) for row in rows])
+    import numpy as _np
+
+    return _np.array(rows, dtype=_np.asarray(r).dtype)
+
+
 def project_gaussians(params, viewmat, cam: Camera, scaling_modifier=1.0):
     """World gaussians -> screen: means2D, 2D covariance, depth, rgb, opacity.
 
@@ -84,19 +111,26 @@ def project_gaussians(params, viewmat, cam: Camera, scaling_modifier=1.0):
         [cam.fx * x / z + cam.cx, cam.fy * y / z + cam.cy], axis=-1
     )
 
-    if "cov3d_precomp" in params:
-        cov3d = params["cov3d_precomp"] * (scaling_modifier ** 2)
+    if "cov6_precomp" in params:
+        cov6 = params["cov6_precomp"] * (scaling_modifier ** 2)
+    elif "cov3d_precomp" in params:
+        m = params["cov3d_precomp"] * (scaling_modifier ** 2)
+        cov6 = jnp.stack([m[:, 0, 0], m[:, 0, 1], m[:, 0, 2],
+                          m[:, 1, 1], m[:, 1, 2], m[:, 2, 2]], -1)
     else:
-        cov3d = G.get_covariance(params, scaling_modifier)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", r, cov3d, r)
+        cov6 = G.covariance_upper(params, scaling_modifier)
+    # camera-frame covariance as ONE (N,6) x (6,6) contraction: a batched
+    # (N,3,3) einsum lowers as 3x3 matmuls padding the lane axis 3->128
+    # (docs/DESIGN.md / sim/mat3.py rule: never einsum (N,3,3) batches)
+    cov_cam6 = cov6 @ congruence6(r).T
     # Jacobian of perspective projection (forward.cu:91-103)
     j00 = cam.fx / z
     j02 = -cam.fx * x / (z * z)
     j11 = cam.fy / z
     j12 = -cam.fy * y / (z * z)
-    a, b, c = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
-    d, e = cov_cam[:, 1, 1], cov_cam[:, 1, 2]
-    f = cov_cam[:, 2, 2]
+    a, b, c = cov_cam6[:, 0], cov_cam6[:, 1], cov_cam6[:, 2]
+    d, e = cov_cam6[:, 3], cov_cam6[:, 4]
+    f = cov_cam6[:, 5]
     c00 = j00 * (j00 * a + j02 * c) + j02 * (j00 * c + j02 * f)
     c01 = j00 * (j11 * b + j12 * c) + j02 * (j11 * e + j12 * f)
     c11 = j11 * (j11 * d + j12 * e) + j12 * (j11 * e + j12 * f)

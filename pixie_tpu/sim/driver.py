@@ -223,14 +223,15 @@ def run_simulation(
     for frame in range(start_frame, frame_num):
         # render/export the CURRENT state, then step — the reference's frame
         # loop order (gs_simulation.py:573-637: rasterize, save, p2g2p)
-        x_mpm = np.asarray(stepper.state.x)
         if renderer is not None:
             from pixie_tpu.sim.render_sim import save_frame_png  # noqa: PLC0415
 
             r0 = time.time()
-            cov6 = _export_cov(stepper)
+            # solver-state DEVICE slices go straight into the render jit —
+            # no per-frame host round-trip of positions/covariances
+            cov6 = _export_cov(stepper, device=True)
             img, (pos_w, cov_w) = renderer.render_frame(
-                frame, x_mpm[:gs_num], cov6[:gs_num])
+                frame, stepper.state.x[:gs_num], cov6[:gs_num])
             save_frame_png(frames_dir / f"{frame:05d}.png", img)
             render_times.append(time.time() - r0)
             if save_ply:
@@ -240,7 +241,7 @@ def run_simulation(
             # undo transforms back to world coordinates (gs_simulation.py:591-600)
             x_world = tf.apply_inverse_rotations(
                 tf.undotransform2origin(
-                    tf.undoshift2center111(x_mpm, z_shift),
+                    tf.undoshift2center111(np.asarray(stepper.state.x), z_shift),
                     scale_origin, original_mean_pos,
                 ),
                 rotation_matrices,
@@ -297,16 +298,18 @@ def run_simulation(
     return info
 
 
-def _export_cov(stepper):
+def _export_cov(stepper, device: bool = False):
     """Current per-particle covariances (export_particle_cov_to_torch,
     mpm_solver_warp.py:715-741): transported from F unless the per-substep
-    cov update is enabled."""
+    cov update is enabled.  With ``device=True`` the result stays a device
+    array (the render path consumes it on-device)."""
     st = stepper.state
     if getattr(stepper.cfg, "update_cov_with_F", False):
-        return np.asarray(st.cov)
+        return st.cov if device else np.asarray(st.cov)
     from pixie_tpu.sim.solver import compute_cov_from_F  # noqa: PLC0415
 
-    return np.asarray(compute_cov_from_F(st))
+    cov = compute_cov_from_F(st)
+    return cov if device else np.asarray(cov)
 
 
 def _prepare_gaussian_particles(gaussian_checkpoint, preprocessing_params,

@@ -46,6 +46,13 @@ def _knn_brute(query: jnp.ndarray, ref: jnp.ndarray, k: int = 10):
     return jnp.sqrt(-neg_d2), idx
 
 
+def _next_pow2(n: int, lo: int = 256) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def knn(query: np.ndarray, ref: np.ndarray, k: int = 10, block: int = 65536):
     """Blocked device kNN for large query sets.
 
@@ -53,16 +60,39 @@ def knn(query: np.ndarray, ref: np.ndarray, k: int = 10, block: int = 65536):
     matrix stays bounded: at 2^27 f32 elements (512 MB) the transient
     d2/top_k buffers fit comfortably in 16 GB HBM even when both point sets
     are large (a 65536 x 87655 block OOMed at 23 GB on v5e).
+
+    Both operands are padded to power-of-two buckets so `_knn_brute`
+    compiles once per bucket instead of once per exact point count —
+    occupied-voxel counts differ per asset, and each fresh shape costs a
+    multi-minute remote TPU compile (r3 voxelize: 645 s wall, mostly
+    shape-chasing compiles).  Padded reference rows sit at 1e9 per axis
+    (squared distance ~3e18 — representable in f32 and never in the top-k
+    while k <= true reference count).
     """
-    query = jnp.asarray(query, jnp.float32)
-    ref = jnp.asarray(ref, jnp.float32)
+    query = np.asarray(query, np.float32)
+    ref = np.asarray(ref, np.float32)
+    nq, nr = query.shape[0], ref.shape[0]
+    assert k <= nr, f"k={k} exceeds reference count {nr}"
+    rpad = _next_pow2(nr)
+    if rpad != nr:
+        ref = np.concatenate(
+            [ref, np.full((rpad - nr, 3), 1e9, np.float32)], axis=0)
+    ref = jnp.asarray(ref)
     max_elems = 1 << 27
-    block = max(256, min(block, max_elems // max(ref.shape[0], 1)))
+    cap = max(256, min(block, max_elems // rpad))
+    block = min(_next_pow2(nq), 256)
+    while block * 2 <= cap and block < nq:
+        block *= 2
     outs_d, outs_i = [], []
-    for start in range(0, query.shape[0], block):
-        d, i = _knn_brute(query[start : start + block], ref, k)
-        outs_d.append(np.asarray(d))
-        outs_i.append(np.asarray(i))
+    for start in range(0, nq, block):
+        q = query[start : start + block]
+        qn = q.shape[0]
+        if qn != block:
+            q = np.concatenate(
+                [q, np.zeros((block - qn, 3), np.float32)], axis=0)
+        d, i = _knn_brute(jnp.asarray(q), ref, k)
+        outs_d.append(np.asarray(d)[:qn])
+        outs_i.append(np.asarray(i)[:qn])
     return np.concatenate(outs_d), np.concatenate(outs_i)
 
 

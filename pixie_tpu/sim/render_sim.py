@@ -100,6 +100,12 @@ class SimRenderer:
     particle setup; ``render_frame`` takes the current MPM-frame positions
     and covariances of the first ``gs_num`` particles (the real gaussians,
     not filled particles) and returns an (H, W, 3) uint8 frame.
+
+    The payload fields (``shs`` / ``opacity_act`` / ``unselected``) are
+    assumed IMMUTABLE for the renderer's lifetime: they are transferred to
+    the device once, keyed on (camera, SH degree), so in-place mutation
+    after the first frame would silently render stale values.  Construct a
+    new SimRenderer to change the payload.
     """
 
     shs: np.ndarray                 # (G, K, 3) SH coefficients
@@ -115,6 +121,10 @@ class SimRenderer:
     fovy: float
     white_bg: bool = False
     unselected: dict | None = None  # pos/cov6/opacity/shs in world frame
+    # extra rasterize_tiled kwargs (e.g. max_tiles_side/tile_cap tuning —
+    # sim splats are small, so a tighter candidate fan-out shrinks the
+    # per-frame 36N-key sort); static per renderer
+    raster_opts: dict = field(default_factory=dict, repr=False)
     _static_parts: dict = field(default_factory=dict, repr=False)
 
     @classmethod
@@ -177,61 +187,81 @@ class SimRenderer:
         return Camera(width=wp, height=hp, fx=fx, fy=fy,
                       cx=self.width / 2.0, cy=self.height / 2.0)
 
+    def _world_maps(self):
+        """Fold undoshift2center111 -> undotransform2origin ->
+        apply_inverse_rotations (gs_simulation.py:595-600) into one affine
+        map pos_w = x @ A + b, and the covariance unscale + un-rotation into
+        one packed 6x6 congruence cov6_w = cov6 @ T6.T — so the whole
+        MPM->world transform runs on device inside the render program
+        instead of as per-frame host numpy."""
+        from pixie_tpu.recon.rasterizer import congruence6  # noqa: PLC0415
+
+        q = np.eye(3, dtype=np.float64)
+        for r in reversed(self.rotation_matrices):
+            q = q @ np.asarray(r, np.float64)
+        c = np.array([1.0, 1.0, 1.0 + self.z_shift])
+        a_mat = q / self.scale_origin
+        b_vec = (np.asarray(self.original_mean_pos, np.float64)
+                 - c / self.scale_origin) @ q
+        t6 = congruence6(q.T) / (self.scale_origin ** 2)
+        return (a_mat.astype(np.float32), b_vec.astype(np.float32),
+                t6.astype(np.float32))
+
     def _make_render_jit(self, cam, degree: int):
-        """One jitted program for the whole per-frame compute: SH colors at
-        the deformed positions, covariance assembly, and the tile rasterize.
+        """One jitted program for the whole per-frame compute: MPM->world
+        transform, SH colors at the deformed positions, and the tile
+        rasterize — inputs are the raw sim-state (x, cov6) slices, so the
+        production driver feeds DEVICE arrays straight from the solver with
+        zero host round-trip.
 
         The eager version of this path cost ~15 s/frame on the remote axon
-        runtime — eval_sh alone is ~60 elementwise dispatches, each paying
-        the tunnel round-trip — versus one dispatch + ~5 MB of input
-        transfer here (docs/DESIGN.md "Benchmarking traps")."""
+        runtime (eval_sh alone is ~60 elementwise dispatches, each paying
+        the tunnel round-trip); the r3 pre-jit measurement was
+        14,935.7 ms/frame vs 277 ms jitted (docs/DESIGN.md).  The image
+        returns as uint8 (1.9 MB vs 7.7 MB f32 at 800^2 over the tunnel)."""
         from pixie_tpu.recon import gaussians as G  # noqa: PLC0415
         from pixie_tpu.recon.rasterizer import rasterize_tiled  # noqa: PLC0415
 
         bg = 1.0 if self.white_bg else 0.0
+        a_mat, b_vec, t6 = self._world_maps()
+        a_dev, b_dev, t6_dev = (jax.device_put(v) for v in (a_mat, b_vec, t6))
 
         @jax.jit
-        def render(shs, opacity, pos_r, cov_r, vm):
+        def render(shs, opacity, u_pos, u_cov, x_mpm, cov6_mpm, vm):
+            pos_w = x_mpm @ a_dev + b_dev
+            cov_w = cov6_mpm @ t6_dev.T
+            pos_r = jnp.concatenate([pos_w, u_pos], 0)
+            cov_r = jnp.concatenate([cov_w, u_cov], 0)
             # camera center in world space (convert_SH, render_utils.py:131)
             cam_pos = -vm[:3, :3].T @ vm[:3, 3]
             dirs = pos_r - cam_pos[None]
             dirs = dirs / jnp.maximum(
                 jnp.sqrt(jnp.sum(dirs * dirs, axis=1, keepdims=True)), 1e-8)
             colors = jnp.clip(G.eval_sh(shs, dirs, degree), 0.0, None)
-            # upper-packed cov6 -> full (N, 3, 3) for the precomp path
-            c = cov_r
-            cov_mat = jnp.stack([
-                jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
-                jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
-                jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
-            ], 1)
             params = {
                 "xyz": pos_r,
-                "cov3d_precomp": cov_mat,
+                "cov6_precomp": cov_r,
                 "colors_precomp": colors,
                 "opacity_precomp": opacity[:, 0],
             }
-            img, _alpha = rasterize_tiled(params, vm, cam, bg_color=bg)
-            return jnp.clip(img[: self.height, : self.width], 0.0, 1.0)
+            img, _alpha = rasterize_tiled(params, vm, cam, bg_color=bg,
+                                          **self.raster_opts)
+            img = jnp.clip(img[: self.height, : self.width], 0.0, 1.0)
+            img8 = (img * 255.0 + 0.5).astype(jnp.uint8)
+            return img8, pos_w, cov_w
 
         return render
 
     def render_frame(self, frame_idx: int, x_mpm_gs, cov6_mpm_gs):
-        """Rasterize one simulation frame; returns (H, W, 3) float32 in
-        [0, 1] plus the world-frame (pos, cov6) used (for PLY export)."""
-        pos_w = self.to_world(x_mpm_gs).astype(np.float32)
-        cov_w = self.cov_to_world(cov6_mpm_gs).astype(np.float32)
-        opacity = self.opacity_act
-        shs = self.shs
-        if self.unselected is not None:
-            pos_r = np.concatenate([pos_w, self.unselected["pos"]], 0)
-            cov_r = np.concatenate([cov_w, self.unselected["cov6"]], 0)
-            opacity = np.concatenate(
-                [opacity, self.unselected["opacity"].reshape(-1, 1)], 0)
-            shs = np.concatenate([shs, self.unselected["shs"]], 0)
-        else:
-            pos_r, cov_r = pos_w, cov_w
+        """Rasterize one simulation frame.
 
+        ``x_mpm_gs`` / ``cov6_mpm_gs`` may be host numpy or device jax
+        arrays (the driver passes solver-state slices directly).  Returns
+        ((H, W, 3) uint8 frame, (pos_w, cov_w)) — the world-frame pos/cov
+        are device arrays fetched lazily (only PLY export pays the
+        transfer)."""
+        shs = self.shs
+        opacity = self.opacity_act
         vm = np.asarray(self.viewmats[frame_idx], np.float32)
         cam = self._camera()
         degree = {1: 0, 4: 1, 9: 2, 16: 3}.get(shs.shape[1], 3)
@@ -240,13 +270,27 @@ class SimRenderer:
             self._static_parts["render_key"] = key
             self._static_parts["render_jit"] = self._make_render_jit(cam, degree)
             # gaussian payload is rollout-constant: transfer it once
-            self._static_parts["shs_dev"] = jax.device_put(shs)
+            if self.unselected is not None:
+                shs = np.concatenate([shs, self.unselected["shs"]], 0)
+                opacity = np.concatenate(
+                    [opacity, self.unselected["opacity"].reshape(-1, 1)], 0)
+                u_pos = np.asarray(self.unselected["pos"], np.float32)
+                u_cov = np.asarray(self.unselected["cov6"], np.float32)
+            else:
+                u_pos = np.zeros((0, 3), np.float32)
+                u_cov = np.zeros((0, 6), np.float32)
+            self._static_parts["shs_dev"] = jax.device_put(
+                np.asarray(shs, np.float32))
             self._static_parts["opacity_dev"] = jax.device_put(
-                opacity.astype(np.float32))
-        img = self._static_parts["render_jit"](
-            self._static_parts["shs_dev"], self._static_parts["opacity_dev"],
-            jnp.asarray(pos_r), jnp.asarray(cov_r), jnp.asarray(vm))
-        return np.asarray(jax.device_get(img)), (pos_w, cov_w)
+                np.asarray(opacity, np.float32))
+            self._static_parts["u_pos_dev"] = jax.device_put(u_pos)
+            self._static_parts["u_cov_dev"] = jax.device_put(u_cov)
+        sp = self._static_parts
+        img8, pos_w, cov_w = sp["render_jit"](
+            sp["shs_dev"], sp["opacity_dev"], sp["u_pos_dev"], sp["u_cov_dev"],
+            jnp.asarray(x_mpm_gs, jnp.float32),
+            jnp.asarray(cov6_mpm_gs, jnp.float32), jnp.asarray(vm))
+        return np.asarray(img8), (pos_w, cov_w)
 
     def export_gaussian_ply(self, path, pos_world, cov6_world):
         """Per-frame gaussian-format PLY (export_gaussians_to_ply,
@@ -266,10 +310,13 @@ class SimRenderer:
         })
 
 
-def save_frame_png(path: str | Path, img01: np.ndarray):
-    """Write an [0,1] float image as PNG (cv2.imwrite equivalent,
-    gs_simulation.py:629-631)."""
+def save_frame_png(path: str | Path, img: np.ndarray):
+    """Write a frame as PNG (cv2.imwrite equivalent, gs_simulation.py:629-631).
+    Accepts uint8 (render_frame output) or [0,1] float."""
     from PIL import Image  # noqa: PLC0415
 
-    Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(path)
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(img).save(path)
     logging.debug("wrote %s", path)

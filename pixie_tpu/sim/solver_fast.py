@@ -614,19 +614,24 @@ class FastMPMSolver:
         # (n_grid=120 real scene: 9.4% tiles occupied) this removes most
         # empty-sub-tile kernel blocks and shrinks every fold/grid op.
         self.use_box = os.environ.get("PIXIE_BOX", "1") == "1"
-        # running elementwise max of box dims: dims are shape-static in the
-        # jitted frame, so never shrinking them means a settling/compressing
-        # object keeps reusing the compiled program (origin is traced)
+        # running elementwise max of box dims / block count: both are
+        # shape-static in the jitted frame, so never shrinking them means a
+        # settling/compressing object keeps reusing the compiled program
+        # (origin is traced)
         self._box_dims_max = None
+        self._n_blocks_max = 0
 
     def _resort(self):
         x = np.asarray(self._compact_state.x)
         self._layout = tiling.build_padded_layout(
             x, self.cfg.n_grid, self.cfg.inv_dx, box=self.use_box,
             box_dims_min=self._box_dims_max,
+            n_blocks_min=self._n_blocks_max,
         )
         if self.use_box:
             self._box_dims_max = self._layout["box_tiles"]
+        self._n_blocks_max = max(self._n_blocks_max,
+                                 int(self._layout["n_blocks"]))
         self._padded = pad_state_to_layout(self._compact_state, self._layout)
         self._bcs_padded = self._pad_particle_bcs()
         self._compact_dirty = False

@@ -18,13 +18,32 @@ Differences from the reference, TPU-first:
 
 from __future__ import annotations
 
+import functools
 import logging
+import time
 from pathlib import Path
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from pixie_tpu.sim.material_field import knn
 from pixie_tpu.utils.io import write_ply
+
+
+@functools.partial(jax.jit, static_argnames=("alpha_weighted",))
+def _pack_batch(density, feature, rgb, delta, alpha_weighted: bool):
+    """On-device alpha + fp16 pack: one dispatch per batch, and the
+    device->host fetch moves fp16 (halves the remote-tunnel bytes — the
+    (64^3, 768) feature grid is 402 MB in fp16, 804 MB in f32)."""
+    density = jnp.asarray(density, jnp.float32).reshape(-1, 1)
+    alpha = 1.0 - jnp.exp(-density * delta)
+    feature = jnp.asarray(feature, jnp.float32)
+    if alpha_weighted:
+        feature = alpha * feature  # get_qp_feats (optimize.py:224-228)
+    return (feature.astype(jnp.float16), alpha.astype(jnp.float16),
+            jnp.asarray(rgb, jnp.float32).astype(jnp.float16))
 
 
 def dense_voxel_grid(min_bounds, max_bounds, voxel_size: float) -> np.ndarray:
@@ -81,6 +100,7 @@ def create_occupancy_mask(
     min_cluster_pts: int = 10,
     eps_multiplier: float = 5.0,
     voxel_size: float = 1.0 / 64,
+    timings: dict | None = None,
 ) -> np.ndarray:
     """Occupancy = alpha > thr AND rgb-mean > gray AND statistical-inlier AND
     non-noise DBSCAN cluster (_create_occupancy_mask, voxelize.py:188-263)."""
@@ -96,13 +116,19 @@ def create_occupancy_mask(
     idx = idx[non_bg]
 
     if run_outlier_filter and len(idx):
+        t0 = time.perf_counter()
         pts = coords[idx]
         stat_keep = statistical_outlier_mask(pts, nb_neighbors, std_ratio)
         idx = idx[stat_keep]
+        if timings is not None:
+            timings["outlier_knn_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         cluster_keep = largest_clusters_mask(
             coords[idx], eps=voxel_size * eps_multiplier, min_points=min_cluster_pts
         )
         idx = idx[cluster_keep]
+        if timings is not None:
+            timings["dbscan_s"] = time.perf_counter() - t0
 
     mask = np.zeros(coords.shape[0], bool)
     mask[idx] = True
@@ -148,45 +174,59 @@ def extract_feature_voxel_grid(
         )
     flat = grid.reshape(-1, 3)
     total = flat.shape[0]
+    timings: dict[str, float] = {}
 
-    probe = field.query(flat[:1])
-    feat_dim = int(np.asarray(probe["feature"]).shape[-1])
-
-    features = np.zeros((total, feat_dim), np.float16)
-    alphas = np.zeros((total, 1), np.float16)
-    rgb = np.zeros((total, 3), np.float16)
-
+    # every query runs at EXACTLY (batch_size, 3): ragged tails (and the old
+    # 1-point feat-dim probe) are padded — each distinct shape costs a fresh
+    # multi-minute remote TPU compile (r3: voxelize 645 s of a 1002 s
+    # pipeline, dominated by shape-chasing compiles; docs/DESIGN.md r4)
+    feats_np, alphas_np, rgb_np = [], [], []
+    feat_dim = None
+    t_query = t_fetch = 0.0
     for i in range(0, total, batch_size):
         batch = flat[i : i + batch_size]
+        bn = batch.shape[0]
+        if bn != batch_size:
+            batch = np.concatenate(
+                [batch, np.zeros((batch_size - bn, 3), np.float32)], axis=0)
+        t0 = time.perf_counter()
         out = field.query(batch)
-        density = np.asarray(out["density"], np.float32).reshape(-1, 1)
-        alpha = get_alpha(density, voxel_size)
-        feature = np.asarray(out["feature"], np.float32)
-        if alpha_weighted:
-            feature = alpha * feature  # get_qp_feats (optimize.py:224-228)
-        features[i : i + batch_size] = feature.astype(np.float16)
-        alphas[i : i + batch_size] = alpha.astype(np.float16)
-        rgb[i : i + batch_size] = np.asarray(
-            field.get_rgb(batch), np.float32
-        ).astype(np.float16)
+        rgb_b = field.get_rgb(batch)
+        f16, a16, r16 = _pack_batch(
+            out["density"], out["feature"], rgb_b,
+            np.float32(voxel_size), alpha_weighted)
+        f16.block_until_ready()
+        t_query += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        feats_np.append(np.asarray(f16)[:bn])
+        alphas_np.append(np.asarray(a16)[:bn])
+        rgb_np.append(np.asarray(r16)[:bn])
+        t_fetch += time.perf_counter() - t0
+    timings["query_s"] = t_query
+    timings["fetch_s"] = t_fetch
 
-    features = features.reshape(*shape, feat_dim)
-    alphas = alphas.reshape(*shape, 1)
-    rgb = rgb.reshape(*shape, 3)
+    features = np.concatenate(feats_np).reshape(*shape, -1)
+    alphas = np.concatenate(alphas_np).reshape(*shape, 1)
+    rgb = np.concatenate(rgb_np).reshape(*shape, 3)
 
+    t0 = time.perf_counter()
     paths = save_voxel_data(
         output_path, features, alphas, rgb, min_bounds, max_bounds, voxel_size,
         alpha_weighted, alpha_threshold_for_mask,
     )
+    timings["save_s"] = time.perf_counter() - t0
 
     mask = create_occupancy_mask(
         grid, alphas, rgb, alpha_threshold_for_mask, gray_threshold_for_mask,
         run_outlier_filter, nb_neighbors, std_ratio, min_cluster_pts,
-        eps_multiplier, voxel_size,
+        eps_multiplier, voxel_size, timings=timings,
     )
     mask_path = output_path.replace(".npz", "_mask.npy")
     np.save(mask_path, mask.astype(np.float32))
     paths["mask"] = mask_path
+    paths["timings"] = timings
+    logging.info("voxelize breakdown: %s",
+                 {k: round(v, 2) for k, v in timings.items()})
 
     # occupancy point cloud for inspection (voxelize.py:266-406)
     pc_path = output_path.replace(".npz", "_pc.ply")

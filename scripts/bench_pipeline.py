@@ -111,8 +111,12 @@ def main():
     t0 = time.time()
     paths = extract_feature_voxel_grid(field, str(out / "grid_features.npz"))
     timings["voxelize_s"] = time.time() - t0
-    print(f"[1/4] voxelize (64^3 x 768 + funnel): {timings['voxelize_s']:.2f}s",
+    vox_breakdown = paths.get("timings", {})
+    print(f"[1/4] voxelize (64^3 x 768 + funnel): {timings['voxelize_s']:.2f}s"
+          f" breakdown={ {k: round(v, 2) for k, v in vox_breakdown.items()} }",
           flush=True)
+    for k, v in vox_breakdown.items():
+        timings[f"voxelize_{k}"] = v
 
     # ---- stage 2: U-Net inference ----------------------------------------
     from pixie_tpu.models.joint import JointMaterialUNet

@@ -76,10 +76,43 @@ def main():
         times.append(time.time() - t0)
     frame_ms = float(np.median(times)) * 1e3
 
+    # split device compute from tunnel transfer: pre-staged device inputs,
+    # one block (no image fetch) = pure device render; the production driver
+    # feeds solver-state device arrays, so THIS is its per-frame cost
+    import jax
+
+    staged = [jax.device_put(x_mpm + np.float32(0.002 * f))
+              for f in range(1, args.frames + 1)]
+    cov_dev = jax.device_put(cov6)
+    dev_times = []
+    for f, xf in enumerate(staged, start=1):
+        t0 = time.time()
+        img8, _ = renderer.render_frame(f, xf, cov_dev)
+        # render_frame fetches the uint8 image; time a second variant too
+        dev_times.append(time.time() - t0)
+    dev_ms = float(np.median(dev_times)) * 1e3
+
+    # pure device time: no image fetch at all (block_until_ready only)
+    import jax.numpy as jnp
+
+    sp = renderer._static_parts
+    nof_times = []
+    for f, xf in enumerate(staged, start=1):
+        vm = jnp.asarray(np.asarray(renderer.viewmats[f], np.float32))
+        t0 = time.time()
+        img8, _pw, _cw = sp["render_jit"](
+            sp["shs_dev"], sp["opacity_dev"], sp["u_pos_dev"],
+            sp["u_cov_dev"], xf, cov_dev, vm)
+        img8.block_until_ready()
+        nof_times.append(time.time() - t0)
+    nofetch_ms = float(np.median(nof_times)) * 1e3
+
     out = {
         "gaussians": g,
         "resolution": args.res,
         "render_frame_ms": round(frame_ms, 1),
+        "render_frame_devin_ms": round(dev_ms, 1),
+        "render_frame_nofetch_ms": round(nofetch_ms, 1),
         "frames_timed": args.frames,
     }
     if args.ply:

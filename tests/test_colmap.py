@@ -40,13 +40,26 @@ def _write_synthetic_model(root, n_views=6, n_pts=50, binary=True):
         down = np.cross(fwd, right)
         r_w2c = np.stack([right, down, fwd])  # rows = camera axes in world
         t = -r_w2c @ cam_pos
-        # rotation -> wxyz quaternion (w>=0)
+        # rotation -> wxyz quaternion, branch on the dominant diagonal
+        # (the trace>0 shortcut alone breaks for 180-degree-ish views)
         m = r_w2c
-        qw = 0.5 * np.sqrt(max(1.0 + m[0, 0] + m[1, 1] + m[2, 2], 1e-12))
-        qx = (m[2, 1] - m[1, 2]) / (4 * qw)
-        qy = (m[0, 2] - m[2, 0]) / (4 * qw)
-        qz = (m[1, 0] - m[0, 1]) / (4 * qw)
-        q = np.array([qw, qx, qy, qz])
+        tr = m[0, 0] + m[1, 1] + m[2, 2]
+        if tr > 0:
+            s = 2 * np.sqrt(tr + 1.0)
+            q = np.array([0.25 * s, (m[2, 1] - m[1, 2]) / s,
+                          (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s])
+        elif m[0, 0] >= m[1, 1] and m[0, 0] >= m[2, 2]:
+            s = 2 * np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2])
+            q = np.array([(m[2, 1] - m[1, 2]) / s, 0.25 * s,
+                          (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s])
+        elif m[1, 1] >= m[2, 2]:
+            s = 2 * np.sqrt(1.0 - m[0, 0] + m[1, 1] - m[2, 2])
+            q = np.array([(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s,
+                          0.25 * s, (m[1, 2] + m[2, 1]) / s])
+        else:
+            s = 2 * np.sqrt(1.0 - m[0, 0] - m[1, 1] + m[2, 2])
+            q = np.array([(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s,
+                          (m[1, 2] + m[2, 1]) / s, 0.25 * s])
         np.testing.assert_allclose(qvec2rotmat(q), r_w2c, atol=1e-6)
         name = f"frame_{i:03d}.png"
         Image.fromarray(
