@@ -323,6 +323,7 @@ def main():
     ap.add_argument("--skip-mpm", action="store_true")
     ap.add_argument("--skip-field", action="store_true")
     ap.add_argument("--skip-realscene", action="store_true")
+    ap.add_argument("--skip-render", action="store_true")
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
@@ -359,6 +360,8 @@ def main():
                                                   args.quick)
     rs = (None if (args.quick or args.skip_realscene or args.skip_mpm)
           else guard("realscene", bench_realscene))
+    render_ms = (None if (args.quick or args.skip_render)
+                 else guard("render_sim", bench_render_sim))
 
     if mpm_rate is not None:
         log(f"aux: mpm_substeps_per_s={mpm_rate:.1f}")
@@ -383,6 +386,8 @@ def main():
     if rs is not None:
         out["aux_realscene_substeps_per_sec"] = round(float(rs[0]), 1)
         out["aux_realscene_particles"] = rs[1]
+    if render_ms is not None:
+        out["aux_render_sim_ms_per_frame"] = round(float(render_ms), 1)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--res", type=int, default=800)
     ap.add_argument("--ply", action="store_true",
                     help="also time the per-frame gaussian PLY export")
+    ap.add_argument("--max-tiles-side", type=int, default=None,
+                    help="rasterizer candidate fan-out (default 6): sim "
+                         "splats are small, so a tighter bound shrinks the "
+                         "36N-key per-frame sort")
+    ap.add_argument("--tile-cap", type=int, default=None)
     args = ap.parse_args()
 
     from pixie_tpu.sim.render_sim import SimRenderer
@@ -60,6 +65,10 @@ def main():
         z_shift=0.0,
     )
     renderer.width = renderer.height = args.res
+    if args.max_tiles_side is not None:
+        renderer.raster_opts["max_tiles_side"] = args.max_tiles_side
+    if args.tile_cap is not None:
+        renderer.raster_opts["tile_cap"] = args.tile_cap
 
     # compile + first frame (camera at frame 0)
     t0 = time.time()
@@ -114,6 +123,8 @@ def main():
         "render_frame_devin_ms": round(dev_ms, 1),
         "render_frame_nofetch_ms": round(nofetch_ms, 1),
         "frames_timed": args.frames,
+        "raster_opts": renderer.raster_opts,
+        "img_mean": round(float(np.asarray(img8).mean()), 4),
     }
     if args.ply:
         t0 = time.time()
