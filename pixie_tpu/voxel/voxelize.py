@@ -227,15 +227,20 @@ def extract_feature_voxel_grid(
         feat_dim = int(feats_dev[0].shape[-1])
         features = np.zeros((total, feat_dim), np.float16)
         if len(keep):
-            # pad the gather index to a power-of-two bucket so occupancy
-            # drift across assets reuses the compiled gather
-            kpad = 256
-            while kpad < len(keep):
-                kpad *= 2
-            idx = np.zeros(kpad, np.int64)
+            # gather in FIXED-size chunks: one compiled gather program is
+            # reused for every chunk and every asset (occupancy drift never
+            # recompiles), and padding waste is < one chunk (the previous
+            # pow2 bucketing padded 87,655 rows to 131,072)
+            ck = 16384
+            npad = (len(keep) + ck - 1) // ck * ck
+            idx = np.zeros(npad, np.int64)
             idx[: len(keep)] = keep
             fd = jnp.concatenate(feats_dev, axis=0)
-            rows = np.asarray(jnp.take(fd, jnp.asarray(idx), axis=0))
+            # dispatch every chunk gather before fetching any (pipelined:
+            # the remote runtime overlaps compute with the host round-trip)
+            parts = [jnp.take(fd, jnp.asarray(idx[i:i + ck]), axis=0)
+                     for i in range(0, npad, ck)]
+            rows = np.concatenate([np.asarray(p) for p in parts], axis=0)
             features[keep] = rows[: len(keep)]
         timings["fetch_s"] = t_fetch + (time.perf_counter() - t0)
         timings["sparse_rows"] = float(len(keep))
