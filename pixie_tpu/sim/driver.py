@@ -223,20 +223,21 @@ def run_simulation(
     for frame in range(start_frame, frame_num):
         # render/export the CURRENT state, then step — the reference's frame
         # loop order (gs_simulation.py:573-637: rasterize, save, p2g2p)
+        img_dev = pos_w = cov_w = None
         if renderer is not None:
-            from pixie_tpu.sim.render_sim import save_frame_png  # noqa: PLC0415
-
             r0 = time.time()
             # solver-state DEVICE slices go straight into the render jit —
-            # no per-frame host round-trip of positions/covariances
+            # no per-frame host round-trip of positions/covariances.  The
+            # render is DISPATCHED here (fetch=False) and the image fetched
+            # only after the next MPM frame is dispatched below, so the
+            # ~75 ms tunnel transfer + PNG encode overlap the device's
+            # substep work (solver steps never donate buffers, so the
+            # pre-step x/cov slices stay valid while the render runs).
             cov6 = _export_cov(stepper, device=True)
-            img, (pos_w, cov_w) = renderer.render_frame(
-                frame, stepper.state.x[:gs_num], cov6[:gs_num])
-            save_frame_png(frames_dir / f"{frame:05d}.png", img)
-            render_times.append(time.time() - r0)
-            if save_ply:
-                renderer.export_gaussian_ply(
-                    ply_dir / f"frame_{frame:05d}.ply", pos_w, cov_w)
+            img_dev, (pos_w, cov_w) = renderer.render_frame(
+                frame, stepper.state.x[:gs_num], cov6[:gs_num],
+                fetch=False)
+            render_dispatch_s = time.time() - r0
         elif save_ply:
             # undo transforms back to world coordinates (gs_simulation.py:591-600)
             x_world = tf.apply_inverse_rotations(
@@ -258,6 +259,17 @@ def run_simulation(
 
         t0 = time.time()
         stepper.step_frame(steps_per_frame, substep_dt)
+        if img_dev is not None:
+            from pixie_tpu.sim.render_sim import save_frame_png  # noqa: PLC0415
+
+            # fetch + encode + (optional) PLY export ride behind the
+            # just-dispatched substep scan on the device
+            r0 = time.time()
+            save_frame_png(frames_dir / f"{frame:05d}.png", np.asarray(img_dev))
+            if save_ply:
+                renderer.export_gaussian_ply(
+                    ply_dir / f"frame_{frame:05d}.ply", pos_w, cov_w)
+            render_times.append(render_dispatch_s + (time.time() - r0))
         np.asarray(stepper.state.x)  # sync so frame timing is honest
         frame_times.append(time.time() - t0)
         if checkpoint_every and (frame + 1) % checkpoint_every == 0:

@@ -252,14 +252,20 @@ class SimRenderer:
 
         return render
 
-    def render_frame(self, frame_idx: int, x_mpm_gs, cov6_mpm_gs):
+    def render_frame(self, frame_idx: int, x_mpm_gs, cov6_mpm_gs,
+                     fetch: bool = True):
         """Rasterize one simulation frame.
 
         ``x_mpm_gs`` / ``cov6_mpm_gs`` may be host numpy or device jax
         arrays (the driver passes solver-state slices directly).  Returns
         ((H, W, 3) uint8 frame, (pos_w, cov_w)) — the world-frame pos/cov
         are device arrays fetched lazily (only PLY export pays the
-        transfer)."""
+        transfer).
+
+        With ``fetch=False`` the image is returned as a DEVICE uint8 array
+        (dispatch only, no host sync): the driver dispatches the next MPM
+        frame before fetching, so the ~75 ms tunnel transfer rides behind
+        the device's substep work instead of serializing the frame loop."""
         shs = self.shs
         opacity = self.opacity_act
         vm = np.asarray(self.viewmats[frame_idx], np.float32)
@@ -290,7 +296,7 @@ class SimRenderer:
             sp["shs_dev"], sp["opacity_dev"], sp["u_pos_dev"], sp["u_cov_dev"],
             jnp.asarray(x_mpm_gs, jnp.float32),
             jnp.asarray(cov6_mpm_gs, jnp.float32), jnp.asarray(vm))
-        return np.asarray(img8), (pos_w, cov_w)
+        return (np.asarray(img8) if fetch else img8), (pos_w, cov_w)
 
     def export_gaussian_ply(self, path, pos_world, cov6_world):
         """Per-frame gaussian-format PLY (export_gaussians_to_ply,
