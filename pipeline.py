@@ -154,7 +154,10 @@ def generate_voxels(cfg, paths):
     field = load_field_adapter(paths["nerf_output"])
     b = cfg.voxelization.scene_bounds
     grid_size = cfg.voxelization.grid_size
-    extract_feature_voxel_grid(
+    # async_fetch: the ~400 MB feature-grid host fetch + npy save drain on a
+    # background thread while the U-Net / map / sim stages run off the
+    # returned device buffer (remote tunnel moves 0.4-23 MB/s; DESIGN.md)
+    vox = extract_feature_voxel_grid(
         field,
         art["npz"],
         bounds=(tuple(b.x_bound), tuple(b.y_bound), tuple(b.z_bound)),
@@ -164,7 +167,21 @@ def generate_voxels(cfg, paths):
         alpha_threshold_for_mask=cfg.voxelization.alpha_threshold_for_mask,
         gray_threshold_for_mask=cfg.voxelization.gray_threshold,
         expected_grid=grid_size,
+        async_fetch=True,
     )
+    paths["_vox_handoff"] = vox
+
+
+def _finish_voxel_fetch(paths):
+    """Join the voxelizer's background feature drain (idempotent).  MUST be
+    called before any stage reads clip_features_features.npy from disk."""
+    vox = paths.get("_vox_handoff") or {}
+    if "wait" in vox:
+        t = vox["wait"]()
+        logging.info("[voxels] background feature fetch drained "
+                     "(fetch %.1fs, save %.1fs)",
+                     t.get("fetch_bg_s", 0.0), t.get("save_feat_s", 0.0))
+        vox.pop("wait", None)
 
 
 def generate_neural_segmentation(cfg, paths):
@@ -188,6 +205,53 @@ def generate_neural_segmentation(cfg, paths):
         # mirroring the reference's normalization_stats/ payload)
         ranges_path = Path(__file__).parent / "normalization_stats" / "normalization_ranges.yaml"
     ranges = load_normalization_ranges(ranges_path)
+
+    seg_ckpt = latest_checkpoint(cfg.paths.discrete_checkpoint_dir)
+    cont_ckpt = latest_checkpoint(cfg.paths.continuous_checkpoint_dir)
+    if seg_ckpt is None or cont_ckpt is None:
+        raise FileNotFoundError(
+            f"U-Net checkpoints not found under "
+            f"{cfg.paths.discrete_checkpoint_dir} / {cfg.paths.continuous_checkpoint_dir}"
+        )
+
+    # Fast path: the in-process voxelize stage hands its device-resident
+    # feature grid straight to the U-Net, so inference runs while the
+    # 400 MB feature npy is still draining to disk on the voxelizer's
+    # background thread (see voxelize.extract_feature_voxel_grid).
+    vox = paths.get("_vox_handoff") or {}
+    art = voxel_artifact_paths(str(render_out))
+    if "features_dev" in vox:
+        import numpy as np  # noqa: PLC0415
+
+        from pixie_tpu.train.inference import (  # noqa: PLC0415
+            CombinedInference, infer_single_device, load_params,
+        )
+
+        infer = CombinedInference(
+            load_params(seg_ckpt), load_params(cont_ckpt),
+            grid_size=cfg.training.default_grid_size,
+            feature_channels=cfg.training.feature_channels,
+            num_classes=cfg.training.num_material_classes,
+            background_id=cfg.training.background_id,
+        )
+        infer_single_device(
+            infer, vox["features_dev"], np.load(art["mask"]),
+            cfg.obj_id, cfg.physics.sample_id, neural_dir,
+        )
+        mapped_ply.parent.mkdir(parents=True, exist_ok=True)
+        map_pred_to_ply(
+            pred_path=neural_dir / cfg.obj_id / f"sample_{cfg.physics.sample_id}_pred.npy",
+            mask_path=art["mask"],
+            grid_feature_path=art["npz"],
+            output_path=mapped_ply,
+            obj_id=cfg.obj_id,
+            ranges=ranges,
+        )
+        return mapped_ply
+
+    # Slow path (stage re-run in a fresh process): the dataset reads the
+    # feature npy from disk, so the background drain must finish first.
+    _finish_voxel_fetch(paths)
 
     # Fresh (unlabeled) objects have no GT material_grid.npy; the dataset
     # contract requires one, so synthesize a placeholder from the occupancy
@@ -228,19 +292,11 @@ def generate_neural_segmentation(cfg, paths):
             f"grid size? expected ({cfg.training.default_grid_size}^3, "
             f"{cfg.training.feature_channels}))"
         )
-    seg_ckpt = latest_checkpoint(cfg.paths.discrete_checkpoint_dir)
-    cont_ckpt = latest_checkpoint(cfg.paths.continuous_checkpoint_dir)
-    if seg_ckpt is None or cont_ckpt is None:
-        raise FileNotFoundError(
-            f"U-Net checkpoints not found under "
-            f"{cfg.paths.discrete_checkpoint_dir} / {cfg.paths.continuous_checkpoint_dir}"
-        )
     run_inference(
         dataset, seg_ckpt, cont_ckpt, neural_dir,
         batch_size=cfg.training.inference.batch_size, indices=obj_indices,
     )
 
-    art = voxel_artifact_paths(str(render_out))
     mapped_ply.parent.mkdir(parents=True, exist_ok=True)
     map_pred_to_ply(
         pred_path=neural_dir / cfg.obj_id / f"sample_{cfg.physics.sample_id}_pred.npy",
@@ -256,6 +312,8 @@ def generate_neural_segmentation(cfg, paths):
 def generate_vlm_segmentation(cfg, paths):
     from pixie_tpu.vlm_labeler.chain import run_vlm_labeling_chain  # noqa: PLC0415
 
+    # the VLM chain re-voxelizes / reads voxel artifacts from disk
+    _finish_voxel_fetch(paths)
     return run_vlm_labeling_chain(cfg, paths)
 
 
@@ -332,6 +390,9 @@ def main(argv=None):
     else:
         raise ValueError(f"unknown material_mode {cfg.material_mode!r}")
     run_physics_simulation(cfg, paths, material_ply)
+    # the voxel feature npy may still be draining on its background thread
+    # (it overlaps the neural/map/sim stages); join before declaring done
+    _finish_voxel_fetch(paths)
     logging.info("pipeline complete in %.1fs", time.time() - t0)
 
 

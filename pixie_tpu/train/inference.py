@@ -115,6 +115,19 @@ class CombinedInference:
         seg, cont = self._fwd(feat)
         return seg[:b], cont[:b]
 
+    def predict_device(self, feat_dev):
+        """Single-sample device-resident forward: feat_dev (D,H,W,C) jax
+        array (any float dtype, e.g. the voxelizer's fp16 ``features_dev``)
+        -> (seg_logits (D,H,W,K), cont (D,H,W,3)), still on device.
+
+        Pipeline fast path: U-Net inference starts straight from the
+        voxelizer's device buffer, before (and concurrent with) the feature
+        grid's 400 MB host-artifact fetch (reference inference_combined.py
+        always round-trips through dataset files)."""
+        feat = jnp.asarray(feat_dev, jnp.float32)[None]
+        seg, cont = self._fwd(feat)
+        return seg[0], cont[0]
+
     def combined_prediction(self, seg_logits, cont_pred) -> np.ndarray:
         """(3+K, D, H, W) with one-hot argmax classes
         (save_predictions, inference_combined.py:189-199)."""
@@ -202,6 +215,40 @@ def run_inference(
         )
     logging.info("Inference complete: %d objects -> %s", len(per_object), output_dir)
     return report
+
+
+def infer_single_device(
+    infer: CombinedInference,
+    feat_dev,
+    mask: np.ndarray,
+    obj_id: str,
+    sample_id: int,
+    output_dir: str | Path,
+) -> Path:
+    """Device-resident single-object inference (pipeline fast path).
+
+    Takes the voxelizer's on-device feature grid (``paths["features_dev"]``)
+    instead of reading ``clip_features_features.npy`` from disk, so the
+    U-Net runs while the voxel-feature host fetch is still draining on its
+    background thread.  Writes the same ``sample_{k}_pred.npy`` /
+    ``sample_{k}_mask.npy`` / ``sample_{k}_info.json`` artifacts as
+    ``run_inference`` (inference_combined.py:173-217); GT metrics are
+    skipped (fresh objects have no ground-truth material grid).
+    """
+    output_dir = Path(output_dir)
+    obj_dir = output_dir / obj_id
+    obj_dir.mkdir(parents=True, exist_ok=True)
+    seg, cont = infer.predict_device(feat_dev)
+    combined = infer.combined_prediction(np.asarray(seg), np.asarray(cont))
+    pred_path = obj_dir / f"sample_{sample_id}_pred.npy"
+    np.save(pred_path, combined)
+    np.save(obj_dir / f"sample_{sample_id}_mask.npy",
+            np.asarray(mask, np.float32))
+    (obj_dir / f"sample_{sample_id}_info.json").write_text(
+        json.dumps({"obj_id": obj_id, "sample_id": sample_id,
+                    "source": "device-resident voxelizer handoff"}))
+    logging.info("Device-resident inference: %s -> %s", obj_id, pred_path)
+    return pred_path
 
 
 def generate_metrics_report(per_object: dict) -> dict:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import threading
 import time
 from pathlib import Path
 
@@ -155,14 +156,32 @@ def extract_feature_voxel_grid(
     min_cluster_pts: int = 10,
     eps_multiplier: float = 5.0,
     expected_grid: int | None = 64,
+    async_fetch: bool | None = None,
 ) -> dict:
     """Sample ``field`` on the dense grid and write the artifact set.
 
     ``field`` duck-type: ``query(points (B,3)) -> {"density" (B,1)|(B,),
     "feature" (B,C)}`` and ``get_rgb(points) -> (B,3)``; arrays may be jax or
     numpy.  Returns the artifact path dict.
+
+    ``async_fetch`` (default off; env ``PIXIE_VOX_ASYNC_FETCH=1``): the
+    feature-grid device->host fetch and its ``*_features.npy`` save run on a
+    background thread, and the returned dict additionally carries
+
+    * ``features_dev`` — the dense (D,D,D,C) fp16 feature grid ON DEVICE,
+      with sub-threshold rows zeroed exactly like the host artifact, so an
+      in-process consumer (U-Net inference) can start immediately;
+    * ``wait`` — a callable joining the drain thread; it merges the fetch
+      timings into ``paths["timings"]`` and must be called before reading
+      ``paths["features"]`` from disk.
+
+    Rationale: the remote-TPU tunnel has measured 0.4-23 MB/s windows
+    (docs/DESIGN.md "tunnel bandwidth"), so the ~135 MB sparse feature fetch
+    costs 6-300 s — all hideable behind the downstream U-Net + MPM stages,
+    which consume the features from device memory, not from the npy.
     """
     output_path = str(output_path)
+    Path(output_path).parent.mkdir(parents=True, exist_ok=True)
     min_bounds = tuple(b[0] for b in bounds)
     max_bounds = tuple(b[1] for b in bounds)
     grid = dense_voxel_grid(min_bounds, max_bounds, voxel_size)
@@ -190,8 +209,11 @@ def extract_feature_voxel_grid(
     # of alpha-weighted ~1e-4 values — those voxels are below the mask's
     # own alpha cut and excluded from training/inference loss anyway.
     sparse_fetch = os.environ.get("PIXIE_VOX_SPARSE_FETCH", "1") == "1"
+    if async_fetch is None:
+        async_fetch = os.environ.get("PIXIE_VOX_ASYNC_FETCH", "0") == "1"
+    async_fetch = async_fetch and sparse_fetch
 
-    feats_dev, feats_np, alphas_np, rgb_np = [], [], [], []
+    feats_dev, alphas_dev, feats_np, alphas_np, rgb_np = [], [], [], [], []
     t_query = t_fetch = 0.0
     for i in range(0, total, batch_size):
         batch = flat[i : i + batch_size]
@@ -210,6 +232,7 @@ def extract_feature_voxel_grid(
         t0 = time.perf_counter()
         if sparse_fetch:
             feats_dev.append(f16[:bn] if bn != batch_size else f16)
+            alphas_dev.append(a16[:bn] if bn != batch_size else a16)
         else:
             feats_np.append(np.asarray(f16)[:bn])
         alphas_np.append(np.asarray(a16)[:bn])
@@ -220,12 +243,17 @@ def extract_feature_voxel_grid(
     alphas = np.concatenate(alphas_np).reshape(*shape, 1)
     rgb = np.concatenate(rgb_np).reshape(*shape, 3)
 
+    features_dev = None
+    drain_thread = None
+    drain_timings: dict[str, float] = {}
+    feat_npy_path = output_path.replace(".npz", "_features.npy")
     if sparse_fetch:
         t0 = time.perf_counter()
         keep = np.flatnonzero(
             alphas.reshape(-1).astype(np.float32) > alpha_threshold_for_mask)
         feat_dim = int(feats_dev[0].shape[-1])
-        features = np.zeros((total, feat_dim), np.float16)
+        fd = jnp.concatenate(feats_dev, axis=0)  # (total, C) fp16 on device
+        parts: list = []
         if len(keep):
             # gather in FIXED-size chunks: one compiled gather program is
             # reused for every chunk and every asset (occupancy drift never
@@ -235,24 +263,53 @@ def extract_feature_voxel_grid(
             npad = (len(keep) + ck - 1) // ck * ck
             idx = np.zeros(npad, np.int64)
             idx[: len(keep)] = keep
-            fd = jnp.concatenate(feats_dev, axis=0)
             # dispatch every chunk gather before fetching any (pipelined:
             # the remote runtime overlaps compute with the host round-trip)
             parts = [jnp.take(fd, jnp.asarray(idx[i:i + ck]), axis=0)
                      for i in range(0, npad, ck)]
-            rows = np.concatenate([np.asarray(p) for p in parts], axis=0)
-            features[keep] = rows[: len(keep)]
-        timings["fetch_s"] = t_fetch + (time.perf_counter() - t0)
+
+        def _drain_and_save():
+            td = time.perf_counter()
+            feats = np.zeros((total, feat_dim), np.float16)
+            if parts:
+                rows = np.concatenate([np.asarray(p) for p in parts], axis=0)
+                feats[keep] = rows[: len(keep)]
+            drain_timings["fetch_bg_s"] = time.perf_counter() - td
+            td = time.perf_counter()
+            np.save(feat_npy_path, feats.reshape(*shape, feat_dim))
+            drain_timings["save_feat_s"] = time.perf_counter() - td
+
+        if async_fetch:
+            # the HOST artifact zero-fills sub-threshold rows; mirror that
+            # on device so features_dev and the npy carry identical values
+            # (jnp.where keeps +0.0, matching np.zeros fill)
+            a_dev = jnp.concatenate(alphas_dev, axis=0).astype(jnp.float32)
+            keep_dev = a_dev > alpha_threshold_for_mask  # (total, 1)
+            features_dev = jnp.where(
+                keep_dev, fd, jnp.float16(0.0)).reshape(*shape, feat_dim)
+            drain_thread = threading.Thread(
+                target=_drain_and_save, name="vox-feat-drain")
+            drain_thread.start()
+            features = None
+            timings["fetch_s"] = t_fetch + (time.perf_counter() - t0)
+        else:
+            _drain_and_save()
+            features = None  # npy already written by _drain_and_save
+            timings["fetch_s"] = (
+                t_fetch + (time.perf_counter() - t0)
+                - drain_timings["save_feat_s"])
+            timings["save_feat_s"] = drain_timings["save_feat_s"]
         timings["sparse_rows"] = float(len(keep))
-        features = features.reshape(*shape, feat_dim)
+        feat_shape = (*shape, feat_dim)
     else:
         timings["fetch_s"] = t_fetch
         features = np.concatenate(feats_np).reshape(*shape, -1)
+        feat_shape = features.shape
 
     t0 = time.perf_counter()
     paths = save_voxel_data(
         output_path, features, alphas, rgb, min_bounds, max_bounds, voxel_size,
-        alpha_weighted, alpha_threshold_for_mask,
+        alpha_weighted, alpha_threshold_for_mask, feat_shape=feat_shape,
     )
     timings["save_s"] = time.perf_counter() - t0
 
@@ -281,6 +338,16 @@ def extract_feature_voxel_grid(
     write_ply(pc_path, vertex)
     paths["pc_ply"] = pc_path
 
+    if drain_thread is not None:
+        paths["features_dev"] = features_dev
+
+        def _wait() -> dict:
+            drain_thread.join()
+            timings.update(drain_timings)
+            return timings
+
+        paths["wait"] = _wait
+
     logging.info(
         "Voxelization done: %d/%d occupied voxels", int(mask.sum()), mask.size
     )
@@ -289,9 +356,13 @@ def extract_feature_voxel_grid(
 
 def save_voxel_data(
     output_path, features, alphas, rgb, min_bounds, max_bounds, voxel_size,
-    alpha_weighted, alpha_threshold,
+    alpha_weighted, alpha_threshold, feat_shape=None,
 ) -> dict:
-    """Write the npz metadata + sidecar npy arrays (voxelize.py:144-185)."""
+    """Write the npz metadata + sidecar npy arrays (voxelize.py:144-185).
+
+    ``features=None`` (sparse-fetch path): the ``*_features.npy`` sidecar is
+    written separately by the fetch drain — possibly still in flight on a
+    background thread — and ``feat_shape`` supplies the npz metadata."""
     base = output_path.replace(".npz", "")
     paths = {
         "npz": output_path,
@@ -300,7 +371,9 @@ def save_voxel_data(
         "rgb": f"{base}_rgb.npy",
     }
     Path(output_path).parent.mkdir(parents=True, exist_ok=True)
-    np.save(paths["features"], features)
+    if features is not None:
+        np.save(paths["features"], features)
+        feat_shape = features.shape
     np.save(paths["alphas"], alphas)
     np.save(paths["rgb"], rgb)
     np.savez(
@@ -308,8 +381,8 @@ def save_voxel_data(
         min_bounds=np.asarray(min_bounds, np.float32),
         max_bounds=np.asarray(max_bounds, np.float32),
         voxel_size=np.float32(voxel_size),
-        grid_shape=np.asarray(features.shape[:-1]),
-        feature_dim=features.shape[-1],
+        grid_shape=np.asarray(feat_shape[:-1]),
+        feature_dim=feat_shape[-1],
         alpha_weighted=alpha_weighted,
         alpha_threshold=alpha_threshold,
     )

@@ -109,21 +109,23 @@ def main():
     field.query(np.zeros((65536, 3), np.float32))
     field.get_rgb(np.zeros((65536, 3), np.float32))
     t0 = time.time()
-    paths = extract_feature_voxel_grid(field, str(out / "grid_features.npz"))
+    # async_fetch mirrors pipeline.py's production wiring: the ~135 MB
+    # sparse feature fetch + 400 MB npy save drain on a background thread
+    # while the U-Net / map / MPM stages below consume the device buffer
+    paths = extract_feature_voxel_grid(
+        field, str(out / "grid_features.npz"), async_fetch=True)
     timings["voxelize_s"] = time.time() - t0
-    vox_breakdown = paths.get("timings", {})
+    vox_breakdown = dict(paths.get("timings", {}))
     print(f"[1/4] voxelize (64^3 x 768 + funnel): {timings['voxelize_s']:.2f}s"
+          f" (feature fetch drains in background)"
           f" breakdown={ {k: round(v, 2) for k, v in vox_breakdown.items()} }",
           flush=True)
-    for k, v in vox_breakdown.items():
-        timings[f"voxelize_{k}"] = v
 
     # ---- stage 2: U-Net inference ----------------------------------------
     from pixie_tpu.models.joint import JointMaterialUNet
 
-    feat16 = np.load(paths["features"])
     mask = np.load(paths["mask"]).astype(bool)
-    x = jnp.asarray(feat16[None].astype(np.float32), jnp.bfloat16)
+    x = jnp.asarray(paths["features_dev"], jnp.bfloat16)[None]
 
     net = JointMaterialUNet(feature_channels=768, grid_size=64,
                             dtype=jnp.bfloat16)
@@ -186,10 +188,31 @@ def main():
     timings["mpm_frame_s"] = frame_s
     timings["mpm_125_frames_s"] = frame_s * 125
     print(f"[4/4] MPM frame (400 substeps @ {args.particles}): {frame_s:.2f}s"
+          f" frames={[round(t, 2) for t in frame_times]}"
           f" -> 125-frame tree rollout {frame_s * 125:.1f}s", flush=True)
 
+    # join the voxel-feature drain; whatever is still in flight here has
+    # been overlapping stages 2-4 and would keep overlapping the remainder
+    # of a real 125-frame rollout, so only the excess past that window
+    # counts against the wall-clock
+    t0 = time.time()
+    vox_t = paths["wait"]()
+    wait_extra = time.time() - t0
+    for k, v in vox_t.items():
+        timings[f"voxelize_{k}"] = v
+    timings["fetch_wait_extra_s"] = wait_extra
+    measured_window = timings["unet_s"] + timings["map_s"] + sum(frame_times)
+    remaining_sim = timings["mpm_125_frames_s"] - sum(frame_times)
+    unhidden = max(0.0, wait_extra - remaining_sim)
+    timings["fetch_unhidden_s"] = unhidden
+    print(f"[fetch] background drain: fetch {vox_t.get('fetch_bg_s', 0):.1f}s"
+          f" + save {vox_t.get('save_feat_s', 0):.1f}s; overlapped stages"
+          f" 2-4 ({measured_window:.1f}s measured), join cost after frames"
+          f" {wait_extra:.1f}s -> unhidden vs 125-frame rollout"
+          f" {unhidden:.1f}s", flush=True)
+
     total = (timings["voxelize_s"] + timings["unet_s"] + timings["map_s"]
-             + timings["mpm_125_frames_s"])
+             + timings["mpm_125_frames_s"] + unhidden)
     timings["pipeline_total_s"] = total
     print(json.dumps({k: round(v, 3) for k, v in timings.items()}))
 

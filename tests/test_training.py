@@ -176,6 +176,48 @@ class TestInference:
         m = json.loads((tmp_path / "out" / "metrics.json").read_text())
         assert "seg_acc" in m and "n" in m["seg_acc"]
 
+    def test_device_path_matches_file_path(self, fixture_dataset, tmp_path):
+        """infer_single_device (the pipeline's voxelizer->U-Net device
+        handoff) must produce the identical sample_0_pred.npy the batched
+        file path writes."""
+        import jax.numpy as jnp
+
+        from pixie_tpu.train.inference import (
+            CombinedInference, infer_single_device, load_params, run_inference,
+        )
+        from pixie_tpu.train.trainer import TrainConfig, Trainer
+
+        cfg_d = TrainConfig(mode="discrete", **SMALL)
+        cfg_c = TrainConfig(mode="continuous", **SMALL)
+        td, tc = Trainer(cfg_d), Trainer(cfg_c)
+        td.setup(1)
+        tc.setup(1)
+        seg_p = td.save_checkpoint(tmp_path / "seg", 0)
+        cont_p = tc.save_checkpoint(tmp_path / "cont", 0)
+        model_kwargs = dict(
+            cond_dim=8, model_channels=8, num_res_blocks=1, channel_mult=(1, 2)
+        )
+        run_inference(
+            fixture_dataset, seg_p, cont_p, tmp_path / "file_out",
+            batch_size=2, model_kwargs=model_kwargs,
+        )
+        feat, _, _, mask, info = fixture_dataset[0]
+        infer = CombinedInference(
+            load_params(seg_p), load_params(cont_p), grid_size=8,
+            feature_channels=12, model_kwargs=model_kwargs,
+        )
+        pred_path = infer_single_device(
+            infer, jnp.asarray(feat, jnp.float16), mask,
+            info["obj_id"], 0, tmp_path / "dev_out",
+        )
+        got = np.load(pred_path)
+        ref = np.load(tmp_path / "file_out" / info["obj_id"] / "sample_0_pred.npy")
+        # fp16 handoff vs f32 file read: one-hot classes must agree exactly,
+        # continuous channels to fp16 input precision
+        np.testing.assert_array_equal(got[3:], ref[3:])
+        np.testing.assert_allclose(got[:3], ref[:3], atol=5e-3)
+        assert (tmp_path / "dev_out" / info["obj_id"] / "sample_0_mask.npy").exists()
+
 
 class TestSpatialSharding:
     """Voxel z-axis sharded over the sp mesh axis (dp x sp GSPMD)."""

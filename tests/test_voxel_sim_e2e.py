@@ -49,6 +49,33 @@ class TestVoxelizer:
         assert tuple(meta["grid_shape"]) == (32, 32, 32)
         assert Path(paths["pc_ply"]).exists()
 
+    def test_async_fetch_matches_sync(self, tmp_path):
+        """async_fetch drains the feature npy on a background thread and
+        hands back a device buffer; both must carry byte-identical values
+        vs the synchronous path (pipeline.py fast-path contract)."""
+        from pixie_tpu.voxel.voxelize import extract_feature_voxel_grid
+
+        kw = dict(voxel_size=1.0 / 32, expected_grid=32, batch_size=2048,
+                  nb_neighbors=10)
+        sync = extract_feature_voxel_grid(
+            SphereField(), tmp_path / "sync.npz", async_fetch=False, **kw)
+        a = extract_feature_voxel_grid(
+            SphereField(), tmp_path / "async.npz", async_fetch=True, **kw)
+        assert "wait" in a and "features_dev" in a
+        dev = np.asarray(a["features_dev"])
+        t = a["wait"]()
+        assert "fetch_bg_s" in t and "save_feat_s" in t
+        a["wait"]()  # idempotent join
+        f_sync = np.load(sync["features"])
+        f_async = np.load(a["features"])
+        np.testing.assert_array_equal(f_sync, f_async)
+        np.testing.assert_array_equal(dev, f_async)
+        assert f_async.dtype == np.float16
+        np.testing.assert_array_equal(
+            np.load(sync["mask"]), np.load(a["mask"]))
+        np.testing.assert_array_equal(
+            np.load(sync["alphas"]), np.load(a["alphas"]))
+
     def test_grid_shape_assert(self, tmp_path):
         from pixie_tpu.voxel.voxelize import extract_feature_voxel_grid
 
