@@ -213,7 +213,7 @@ def extract_feature_voxel_grid(
         async_fetch = os.environ.get("PIXIE_VOX_ASYNC_FETCH", "0") == "1"
     async_fetch = async_fetch and sparse_fetch
 
-    feats_dev, alphas_dev, feats_np, alphas_np, rgb_np = [], [], [], [], []
+    feats_dev, alphas_dev, rgb_dev, feats_np = [], [], [], []
     t_query = t_fetch = 0.0
     for i in range(0, total, batch_size):
         batch = flat[i : i + batch_size]
@@ -232,16 +232,20 @@ def extract_feature_voxel_grid(
         t0 = time.perf_counter()
         if sparse_fetch:
             feats_dev.append(f16[:bn] if bn != batch_size else f16)
-            alphas_dev.append(a16[:bn] if bn != batch_size else a16)
         else:
             feats_np.append(np.asarray(f16)[:bn])
-        alphas_np.append(np.asarray(a16)[:bn])
-        rgb_np.append(np.asarray(r16)[:bn])
+        # alphas/rgb stay on device; ONE concatenated fetch after the loop
+        # (32 per-batch round-trips cost minutes in a slow tunnel window)
+        alphas_dev.append(a16[:bn] if bn != batch_size else a16)
+        rgb_dev.append(r16[:bn] if bn != batch_size else r16)
         t_fetch += time.perf_counter() - t0
     timings["query_s"] = t_query
 
-    alphas = np.concatenate(alphas_np).reshape(*shape, 1)
-    rgb = np.concatenate(rgb_np).reshape(*shape, 3)
+    t0 = time.perf_counter()
+    a_dev = jnp.concatenate(alphas_dev, axis=0)  # (total, 1) fp16
+    alphas = np.asarray(a_dev).reshape(*shape, 1)
+    rgb = np.asarray(jnp.concatenate(rgb_dev, axis=0)).reshape(*shape, 3)
+    t_fetch += time.perf_counter() - t0
 
     features_dev = None
     drain_thread = None
@@ -283,8 +287,9 @@ def extract_feature_voxel_grid(
             # the HOST artifact zero-fills sub-threshold rows; mirror that
             # on device so features_dev and the npy carry identical values
             # (jnp.where keeps +0.0, matching np.zeros fill)
-            a_dev = jnp.concatenate(alphas_dev, axis=0).astype(jnp.float32)
-            keep_dev = a_dev > alpha_threshold_for_mask  # (total, 1)
+            keep_dev = (
+                a_dev.astype(jnp.float32) > alpha_threshold_for_mask
+            )  # (total, 1)
             features_dev = jnp.where(
                 keep_dev, fd, jnp.float16(0.0)).reshape(*shape, feat_dim)
             drain_thread = threading.Thread(

@@ -47,6 +47,7 @@ SLOW_MODULES = {
     "test_solver_dist",
     "test_fast_solver",
     "test_training",
+    "test_pipeline_stages",
     "test_unet_parity",
     "test_recon",
     "test_gs_blend",
