@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -620,20 +621,35 @@ class FastMPMSolver:
         # (origin is traced)
         self._box_dims_max = None
         self._n_blocks_max = 0
+        # per-phase resort cost accumulators (seconds) — read by the
+        # realscene bench to attribute the resort-event frame overhead
+        # (x fetch + layout build are host/tunnel-bound; pad is device)
+        self.resort_stats = {"n": 0, "unpad_s": 0.0, "x_fetch_s": 0.0,
+                             "build_s": 0.0, "pad_s": 0.0, "bc_pad_s": 0.0}
 
     def _resort(self):
+        rs = self.resort_stats
+        rs["n"] += 1
+        t0 = time.perf_counter()
         x = np.asarray(self._compact_state.x)
+        rs["x_fetch_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         self._layout = tiling.build_padded_layout(
             x, self.cfg.n_grid, self.cfg.inv_dx, box=self.use_box,
             box_dims_min=self._box_dims_max,
             n_blocks_min=self._n_blocks_max,
         )
+        rs["build_s"] += time.perf_counter() - t0
         if self.use_box:
             self._box_dims_max = self._layout["box_tiles"]
         self._n_blocks_max = max(self._n_blocks_max,
                                  int(self._layout["n_blocks"]))
+        t0 = time.perf_counter()
         self._padded = pad_state_to_layout(self._compact_state, self._layout)
+        rs["pad_s"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         self._bcs_padded = self._pad_particle_bcs()
+        rs["bc_pad_s"] += time.perf_counter() - t0
         self._compact_dirty = False
 
     def _pad_particle_bcs(self):
@@ -669,9 +685,11 @@ class FastMPMSolver:
     def step_frame(self, n_substeps: int, dt: float):
         if self._needs_resort():
             if self._padded is not None and self._compact_dirty:
+                t0 = time.perf_counter()
                 self._compact_state = unpad_state(
                     self._padded, self._layout, self.n_particles
                 )
+                self.resort_stats["unpad_s"] += time.perf_counter() - t0
             self._resort()
         lay = self._layout
         # fused path per FRAME: particle BCs are usually time-bounded (the

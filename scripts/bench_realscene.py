@@ -114,7 +114,12 @@ def main():
     xs = np.asarray(solver.state.x)
     assert np.isfinite(xs).all(), "non-finite particle positions"
     med = float(np.median(frame_times))
+    rs = dict(solver.resort_stats)
+    print(f"resort stats: { {k: round(v, 3) if isinstance(v, float) else v for k, v in rs.items()} }",
+          flush=True)
     info = {
+        "resort_stats": {k: round(v, 4) if isinstance(v, float) else v
+                         for k, v in rs.items()},
         "n_particles": int(args.particles),
         "n_grid": cfg.n_grid,
         "grid_lim": cfg.grid_lim,
