@@ -83,17 +83,73 @@ def knn(query: np.ndarray, ref: np.ndarray, k: int = 10, block: int = 65536):
     block = min(_next_pow2(nq), 256)
     while block * 2 <= cap and block < nq:
         block *= 2
-    outs_d, outs_i = [], []
+    # dispatch every block before fetching any: device compute pipelines
+    # with the host round-trips (the remote tunnel serializes a
+    # dispatch->fetch->dispatch loop, docs/DESIGN.md r4d)
+    outs, lens = [], []
     for start in range(0, nq, block):
         q = query[start : start + block]
         qn = q.shape[0]
         if qn != block:
             q = np.concatenate(
                 [q, np.zeros((block - qn, 3), np.float32)], axis=0)
-        d, i = _knn_brute(jnp.asarray(q), ref, k)
-        outs_d.append(np.asarray(d)[:qn])
-        outs_i.append(np.asarray(i)[:qn])
+        outs.append(_knn_brute(jnp.asarray(q), ref, k))
+        lens.append(qn)
+    outs_d = [np.asarray(d)[:qn] for (d, _), qn in zip(outs, lens)]
+    outs_i = [np.asarray(i)[:qn] for (_, i), qn in zip(outs, lens)]
     return np.concatenate(outs_d), np.concatenate(outs_i)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "skip_self"))
+def _knn_mean_brute(query, ref, k: int, skip_self: bool):
+    d, _ = _knn_brute(query, ref, k + 1 if skip_self else k)
+    if skip_self:
+        d = d[:, 1:]
+    return jnp.mean(d, axis=1)
+
+
+def knn_mean_dist(query: np.ndarray, ref: np.ndarray, k: int = 10,
+                  skip_self: bool = False, block: int = 65536) -> np.ndarray:
+    """Mean distance to the k nearest reference points, reduced ON DEVICE.
+
+    Same blocking/pow2 bucketing as :func:`knn`, two differences that matter
+    on the remote-TPU tunnel (docs/DESIGN.md "tunnel bandwidth"):
+
+    * only the (Q,) f32 mean comes back — not the (Q, k) distances + (Q, k)
+      indices (87,655 x 51 queries: 0.35 MB fetched instead of 36 MB);
+    * every block is DISPATCHED before any block is fetched, so device
+      compute and the host round-trips pipeline instead of serializing.
+
+    ``skip_self=True`` reproduces the self-query convention (query == ref):
+    the nearest neighbor is the point itself at distance 0 and is excluded
+    from the mean (open3d remove_statistical_outlier semantics).
+    """
+    query = np.asarray(query, np.float32)
+    ref = np.asarray(ref, np.float32)
+    nq, nr = query.shape[0], ref.shape[0]
+    need = k + 1 if skip_self else k
+    assert need <= nr, f"k={k} (+self) exceeds reference count {nr}"
+    rpad = _next_pow2(nr)
+    if rpad != nr:
+        ref = np.concatenate(
+            [ref, np.full((rpad - nr, 3), 1e9, np.float32)], axis=0)
+    ref = jnp.asarray(ref)
+    max_elems = 1 << 27
+    cap = max(256, min(block, max_elems // rpad))
+    block = min(_next_pow2(nq), 256)
+    while block * 2 <= cap and block < nq:
+        block *= 2
+    outs, lens = [], []
+    for start in range(0, nq, block):
+        q = query[start : start + block]
+        qn = q.shape[0]
+        if qn != block:
+            q = np.concatenate(
+                [q, np.zeros((block - qn, 3), np.float32)], axis=0)
+        outs.append(_knn_mean_brute(jnp.asarray(q), ref, k, skip_self))
+        lens.append(qn)
+    return np.concatenate(
+        [np.asarray(o)[:qn] for o, qn in zip(outs, lens)])
 
 
 def assign_from_neighbors(

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pixie_tpu.sim.material_field import knn
+from pixie_tpu.sim.material_field import knn_mean_dist
 from pixie_tpu.utils.io import write_ply
 
 
@@ -72,8 +72,9 @@ def statistical_outlier_mask(
     n = len(points)
     if n <= nb_neighbors:
         return np.ones(n, bool)
-    dists, _ = knn(points, points, k=nb_neighbors + 1)  # includes self at d=0
-    mean_d = dists[:, 1:].mean(axis=1)
+    # the per-point k-mean reduces on device; only (n,) f32 crosses the
+    # tunnel (36 MB -> 0.35 MB at 87k points, docs/DESIGN.md r4d)
+    mean_d = knn_mean_dist(points, points, k=nb_neighbors, skip_self=True)
     mu, sigma = mean_d.mean(), mean_d.std()
     return mean_d < mu + std_ratio * sigma
 
@@ -88,6 +89,46 @@ def largest_clusters_mask(
         return np.zeros(0, bool)
     labels = DBSCAN(eps=eps, min_samples=min_points).fit_predict(points)
     return labels != -1
+
+
+def lattice_nonnoise_mask(
+    ijk: np.ndarray, shape, r_lattice: float, min_points: int = 10
+) -> np.ndarray:
+    """DBSCAN non-noise mask for points ON A REGULAR LATTICE, exactly.
+
+    DBSCAN keeps a point iff it lies within ``eps`` of a *core* point (one
+    with >= min_samples neighbors within eps, counting itself) — labels are
+    irrelevant when only ``labels != -1`` is consumed.  On a lattice with
+    spacing h and eps = r*h this is pure grid morphology:
+
+        counts = occupancy (x) ball(r)        # closed ball, offsets s<=r^2
+        core   = occ & (counts >= min_points)
+        keep   = occ & (core (x) ball(r) > 0)
+
+    Both convolutions run as one FFT pair over the (64^3) grid — ~0.1 s vs
+    ~7 s for sklearn's tree-based DBSCAN on 87k points (docs/DESIGN.md r4d).
+    Exactness: voxel coords are exact float multiples of h (h = 1/64 and the
+    bounds are powers of two), so sklearn's float64 distance test
+    d <= eps is equivalent to the integer test |di|^2+|dj|^2+|dk|^2 <= r^2;
+    the 1e-6 slack only absorbs float error in r_lattice itself.
+    """
+    if len(ijk) == 0:
+        return np.zeros(0, bool)
+    from scipy.signal import fftconvolve  # noqa: PLC0415
+
+    occ = np.zeros(shape, np.float32)
+    occ[tuple(ijk.T)] = 1.0
+    rr = int(np.floor(r_lattice + 1e-6))
+    g = np.arange(-rr, rr + 1)
+    ball = (
+        (g[:, None, None] ** 2 + g[None, :, None] ** 2 + g[None, None, :] ** 2)
+        <= r_lattice * r_lattice + 1e-6
+    ).astype(np.float32)
+    counts = np.rint(fftconvolve(occ, ball, mode="same"))
+    core = (occ > 0) & (counts >= min_points)
+    near_core = np.rint(fftconvolve(core.astype(np.float32), ball, mode="same"))
+    keep = (occ > 0) & (near_core > 0)
+    return keep[tuple(ijk.T)]
 
 
 def create_occupancy_mask(
@@ -125,9 +166,18 @@ def create_occupancy_mask(
         if timings is not None:
             timings["outlier_knn_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        cluster_keep = largest_clusters_mask(
-            coords[idx], eps=voxel_size * eps_multiplier, min_points=min_cluster_pts
-        )
+        if os.environ.get("PIXIE_LATTICE_DBSCAN", "1") == "1":
+            # grid points are a regular lattice with spacing voxel_size and
+            # eps = eps_multiplier * voxel_size -> exact DBSCAN by FFT
+            # morphology on the grid (lattice_nonnoise_mask docstring)
+            ijk = np.stack(np.unravel_index(idx, shape), axis=1)
+            cluster_keep = lattice_nonnoise_mask(
+                ijk, shape, r_lattice=eps_multiplier,
+                min_points=min_cluster_pts)
+        else:
+            cluster_keep = largest_clusters_mask(
+                coords[idx], eps=voxel_size * eps_multiplier,
+                min_points=min_cluster_pts)
         idx = idx[cluster_keep]
         if timings is not None:
             timings["dbscan_s"] = time.perf_counter() - t0
@@ -245,6 +295,7 @@ def extract_feature_voxel_grid(
     a_dev = jnp.concatenate(alphas_dev, axis=0)  # (total, 1) fp16
     alphas = np.asarray(a_dev).reshape(*shape, 1)
     rgb = np.asarray(jnp.concatenate(rgb_dev, axis=0)).reshape(*shape, 3)
+    timings["alphas_rgb_fetch_s"] = time.perf_counter() - t0
     t_fetch += time.perf_counter() - t0
 
     features_dev = None
@@ -296,6 +347,7 @@ def extract_feature_voxel_grid(
                 target=_drain_and_save, name="vox-feat-drain")
             drain_thread.start()
             features = None
+            timings["gather_dispatch_s"] = time.perf_counter() - t0
             timings["fetch_s"] = t_fetch + (time.perf_counter() - t0)
         else:
             _drain_and_save()

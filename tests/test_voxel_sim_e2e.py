@@ -49,6 +49,43 @@ class TestVoxelizer:
         assert tuple(meta["grid_shape"]) == (32, 32, 32)
         assert Path(paths["pc_ply"]).exists()
 
+    @pytest.mark.parametrize("seed,density", [(0, 0.02), (1, 0.08), (2, 0.3)])
+    def test_lattice_dbscan_matches_sklearn(self, seed, density):
+        """lattice_nonnoise_mask is exactly sklearn DBSCAN's labels != -1
+        for lattice points (the only way create_occupancy_mask calls it)."""
+        from pixie_tpu.voxel.voxelize import (largest_clusters_mask,
+                                              lattice_nonnoise_mask)
+
+        rng = np.random.default_rng(seed)
+        shape = (48, 48, 48)
+        h = 1.0 / 64
+        occ = rng.random(shape) < density
+        # add an isolated small blob that should be DBSCAN noise
+        occ[2, 2, 2] = True
+        ijk = np.argwhere(occ)
+        pts = (ijk.astype(np.float32) * h - 0.5).astype(np.float32)
+        for eps_mult, min_pts in [(5.0, 10), (2.0, 5), (3.0, 27)]:
+            ref = largest_clusters_mask(pts, eps=h * eps_mult,
+                                        min_points=min_pts)
+            got = lattice_nonnoise_mask(ijk, shape, r_lattice=eps_mult,
+                                        min_points=min_pts)
+            np.testing.assert_array_equal(got, ref)
+
+    def test_knn_mean_dist_matches_knn(self):
+        from pixie_tpu.sim.material_field import knn, knn_mean_dist
+
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(-0.5, 0.5, (700, 3)).astype(np.float32)
+        d, _ = knn(pts, pts, k=11)
+        ref = d[:, 1:].mean(axis=1)
+        got = knn_mean_dist(pts, pts, k=10, skip_self=True)
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-7)
+        # and the no-self variant against distinct query/ref sets
+        q = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+        d2, _ = knn(q, pts, k=7)
+        np.testing.assert_allclose(
+            knn_mean_dist(q, pts, k=7), d2.mean(axis=1), rtol=2e-6, atol=2e-7)
+
     def test_async_fetch_matches_sync(self, tmp_path):
         """async_fetch drains the feature npy on a background thread and
         hands back a device buffer; both must carry byte-identical values
