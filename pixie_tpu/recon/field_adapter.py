@@ -59,14 +59,45 @@ class FieldAdapter:
         self._query_fn = _query
         self._rgb_fn = _rgb
 
-    def _to_nerf01(self, world_points: np.ndarray) -> jnp.ndarray:
+        # one-dispatch grid query for the voxelizer (voxelize.py
+        # build_packed_grid_query docstring: the per-program remote-dispatch
+        # tax made the 64-batch loop cost 35-95 s on the tunnel runtime)
+        from pixie_tpu.voxel.voxelize import build_packed_grid_query  # noqa: PLC0415
+
+        def _df(params, pts01):
+            nerf_p, feat_p = params
+            density = self.nerf.apply(nerf_p, pts01, None, True)
+            if self.feat is not None:
+                feature = self.feat.apply(feat_p, pts01)
+            else:
+                feature = jnp.concatenate(
+                    [density, jnp.zeros_like(density)], axis=-1)
+            return density, feature
+
+        self._packed_grid_fn = build_packed_grid_query(
+            _df, lambda params, pts01: self.nerf.apply(
+                params[0], pts01, jnp.zeros_like(pts01), False)[1])
+
+    def query_packed_chunks(self, world_points, chunk_size, delta,
+                            alpha_weighted=True):
+        """Voxelizer fast path: features + packed alpha/rgb for the whole
+        grid from one jitted scan (see voxelize.build_packed_grid_query)."""
+        return self._packed_grid_fn(
+            (self.nerf_params, self.feat_params),
+            self._to_nerf01_np(world_points), chunk_size, delta,
+            alpha_weighted)
+
+    def _to_nerf01_np(self, world_points: np.ndarray) -> np.ndarray:
         p = np.asarray(world_points, np.float32)
         if self.transform is not None:
             ph = np.concatenate([p, np.ones((len(p), 1), np.float32)], axis=1)
             p = (self.transform @ ph.T).T[:, :3]
         p = p * self.scale
         # fields are parameterized on [0,1]^3 over the [-1,1] box
-        return jnp.asarray(p * 0.5 + 0.5)
+        return p * 0.5 + 0.5
+
+    def _to_nerf01(self, world_points: np.ndarray) -> jnp.ndarray:
+        return jnp.asarray(self._to_nerf01_np(world_points))
 
     def query(self, world_points):
         density, feature = self._query_fn(

@@ -34,11 +34,10 @@ from pixie_tpu.sim.material_field import knn_mean_dist
 from pixie_tpu.utils.io import write_ply
 
 
-@functools.partial(jax.jit, static_argnames=("alpha_weighted",))
-def _pack_batch(density, feature, rgb, delta, alpha_weighted: bool):
-    """On-device alpha + fp16 pack: one dispatch per batch, and the
-    device->host fetch moves fp16 (halves the remote-tunnel bytes — the
-    (64^3, 768) feature grid is 402 MB in fp16, 804 MB in f32)."""
+def _pack_rows(density, feature, rgb, delta, alpha_weighted: bool):
+    """On-device alpha + fp16 pack; the device->host fetch moves fp16
+    (halves the remote-tunnel bytes — the (64^3, 768) feature grid is
+    402 MB in fp16, 804 MB in f32)."""
     density = jnp.asarray(density, jnp.float32).reshape(-1, 1)
     alpha = 1.0 - jnp.exp(-density * delta)
     feature = jnp.asarray(feature, jnp.float32)
@@ -46,6 +45,57 @@ def _pack_batch(density, feature, rgb, delta, alpha_weighted: bool):
         feature = alpha * feature  # get_qp_feats (optimize.py:224-228)
     return (feature.astype(jnp.float16), alpha.astype(jnp.float16),
             jnp.asarray(rgb, jnp.float32).astype(jnp.float16))
+
+
+_pack_batch = functools.partial(jax.jit, static_argnames=("alpha_weighted",))(
+    _pack_rows)
+
+
+def build_packed_grid_query(density_feature_fn, rgb_fn):
+    """One-dispatch voxel-grid query: a jitted ``lax.scan`` over fixed-size
+    point chunks replacing the per-batch query/rgb/pack dispatch loop.
+
+    On the remote TPU runtime each program execution carries a host
+    round-trip tax that async dispatch hides until the first fetch — the
+    64-batch loop (~192 programs) surfaced as 35-95 s of
+    ``alphas_rgb_fetch_s`` while moving only ~2 MB (docs/DESIGN.md r4e/r4f).
+    One scan = one program = one tax.
+
+    ``density_feature_fn(params, pts01) -> (density (B,1)|(B,), feature
+    (B,C))`` and ``rgb_fn(params, pts01) -> (B,3)`` must be pure jax
+    functions; ``params`` is an arbitrary pytree passed through (never
+    closed over, so re-using the builder across checkpoints re-uses the
+    compiled program).
+
+    Returns ``query(params, flat01, chunk, delta, alpha_weighted) ->
+    (features (Tpad,C) fp16 dev, alphas_rgb (Tpad,4) fp16 dev)`` where
+    column 0 of ``alphas_rgb`` is alpha and 1:4 are rgb; rows past the
+    original ``T`` are tail padding.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("alpha_weighted",))
+    def _scan(params, chunks, delta, alpha_weighted):
+        def body(carry, pts01):
+            density, feature = density_feature_fn(params, pts01)
+            rgb = rgb_fn(params, pts01)
+            f16, a16, r16 = _pack_rows(density, feature, rgb, delta,
+                                       alpha_weighted)
+            return carry, (f16, jnp.concatenate([a16, r16], axis=-1))
+
+        _, (f, ar) = jax.lax.scan(body, 0, chunks)
+        return f.reshape(-1, f.shape[-1]), ar.reshape(-1, 4)
+
+    def query(params, flat01, chunk, delta, alpha_weighted=True):
+        flat01 = np.asarray(flat01, np.float32)
+        total = flat01.shape[0]
+        npad = -(-total // chunk) * chunk
+        if npad != total:
+            flat01 = np.concatenate(
+                [flat01, np.zeros((npad - total, 3), np.float32)], axis=0)
+        chunks = jnp.asarray(flat01.reshape(-1, chunk, 3))
+        return _scan(params, chunks, jnp.float32(delta), alpha_weighted)
+
+    return query
 
 
 def dense_voxel_grid(min_bounds, max_bounds, voxel_size: float) -> np.ndarray:
@@ -263,40 +313,74 @@ def extract_feature_voxel_grid(
         async_fetch = os.environ.get("PIXIE_VOX_ASYNC_FETCH", "0") == "1"
     async_fetch = async_fetch and sparse_fetch
 
-    feats_dev, alphas_dev, rgb_dev, feats_np = [], [], [], []
-    t_query = t_fetch = 0.0
-    for i in range(0, total, batch_size):
-        batch = flat[i : i + batch_size]
-        bn = batch.shape[0]
-        if bn != batch_size:
-            batch = np.concatenate(
-                [batch, np.zeros((batch_size - bn, 3), np.float32)], axis=0)
+    # packed fast path (default when the field supports it): ONE jitted
+    # scan over all chunks instead of ~3 programs per 4096-point batch —
+    # the per-program remote-dispatch tax, not bandwidth, was 35-95 s of
+    # the r4e voxelize stage (docs/DESIGN.md).  Fallback loop serves
+    # duck-typed numpy fields (tests) and PIXIE_VOX_PACKED=0.
+    packed = getattr(field, "query_packed_chunks", None)
+    use_packed = (packed is not None
+                  and os.environ.get("PIXIE_VOX_PACKED", "1") == "1")
+    fd = a_dev = None
+    feats_np: list = []
+    t_fetch = 0.0
+    if use_packed:
         t0 = time.perf_counter()
-        out = field.query(batch)
-        rgb_b = field.get_rgb(batch)
-        f16, a16, r16 = _pack_batch(
-            out["density"], out["feature"], rgb_b,
-            np.float32(voxel_size), alpha_weighted)
-        f16.block_until_ready()
-        t_query += time.perf_counter() - t0
+        fd_pad, ar_dev = packed(
+            flat, batch_size, np.float32(voxel_size), alpha_weighted)
+        timings["query_s"] = time.perf_counter() - t0  # dispatch only
         t0 = time.perf_counter()
-        if sparse_fetch:
-            feats_dev.append(f16[:bn] if bn != batch_size else f16)
-        else:
-            feats_np.append(np.asarray(f16)[:bn])
-        # alphas/rgb stay on device; ONE concatenated fetch after the loop
-        # (32 per-batch round-trips cost minutes in a slow tunnel window)
-        alphas_dev.append(a16[:bn] if bn != batch_size else a16)
-        rgb_dev.append(r16[:bn] if bn != batch_size else r16)
-        t_fetch += time.perf_counter() - t0
-    timings["query_s"] = t_query
+        # ONE ~2 MB fetch; synchronizes the whole grid's device compute
+        ar = np.asarray(ar_dev)[:total]
+        alphas = ar[:, :1].reshape(*shape, 1)
+        rgb = ar[:, 1:].reshape(*shape, 3)
+        timings["alphas_rgb_fetch_s"] = time.perf_counter() - t0
+        t_fetch += timings["alphas_rgb_fetch_s"]
+        fd = fd_pad if fd_pad.shape[0] == total else fd_pad[:total]
+        a_dev = ar_dev[:, :1] if ar_dev.shape[0] == total \
+            else ar_dev[:total, :1]
+        if not sparse_fetch:
+            t0 = time.perf_counter()
+            feats_np.append(np.asarray(fd))
+            t_fetch += time.perf_counter() - t0
+    else:
+        feats_dev, alphas_dev, rgb_dev = [], [], []
+        t_query = 0.0
+        for i in range(0, total, batch_size):
+            batch = flat[i : i + batch_size]
+            bn = batch.shape[0]
+            if bn != batch_size:
+                batch = np.concatenate(
+                    [batch, np.zeros((batch_size - bn, 3), np.float32)],
+                    axis=0)
+            t0 = time.perf_counter()
+            out = field.query(batch)
+            rgb_b = field.get_rgb(batch)
+            f16, a16, r16 = _pack_batch(
+                out["density"], out["feature"], rgb_b,
+                np.float32(voxel_size), alpha_weighted)
+            f16.block_until_ready()
+            t_query += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if sparse_fetch:
+                feats_dev.append(f16[:bn] if bn != batch_size else f16)
+            else:
+                feats_np.append(np.asarray(f16)[:bn])
+            # alphas/rgb stay on device; ONE concatenated fetch after the
+            # loop (per-batch round-trips cost minutes in a slow window)
+            alphas_dev.append(a16[:bn] if bn != batch_size else a16)
+            rgb_dev.append(r16[:bn] if bn != batch_size else r16)
+            t_fetch += time.perf_counter() - t0
+        timings["query_s"] = t_query
 
-    t0 = time.perf_counter()
-    a_dev = jnp.concatenate(alphas_dev, axis=0)  # (total, 1) fp16
-    alphas = np.asarray(a_dev).reshape(*shape, 1)
-    rgb = np.asarray(jnp.concatenate(rgb_dev, axis=0)).reshape(*shape, 3)
-    timings["alphas_rgb_fetch_s"] = time.perf_counter() - t0
-    t_fetch += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        a_dev = jnp.concatenate(alphas_dev, axis=0)  # (total, 1) fp16
+        alphas = np.asarray(a_dev).reshape(*shape, 1)
+        rgb = np.asarray(jnp.concatenate(rgb_dev, axis=0)).reshape(*shape, 3)
+        timings["alphas_rgb_fetch_s"] = time.perf_counter() - t0
+        t_fetch += timings["alphas_rgb_fetch_s"]
+        if sparse_fetch:
+            fd = jnp.concatenate(feats_dev, axis=0)  # (total, C) fp16
 
     features_dev = None
     drain_thread = None
@@ -306,8 +390,7 @@ def extract_feature_voxel_grid(
         t0 = time.perf_counter()
         keep = np.flatnonzero(
             alphas.reshape(-1).astype(np.float32) > alpha_threshold_for_mask)
-        feat_dim = int(feats_dev[0].shape[-1])
-        fd = jnp.concatenate(feats_dev, axis=0)  # (total, C) fp16 on device
+        feat_dim = int(fd.shape[-1])
         parts: list = []
         if len(keep):
             # gather in FIXED-size chunks: one compiled gather program is

@@ -77,6 +77,18 @@ class BenchFieldAdapter:
         self._query_fn = _query
         self._rgb_fn = _rgb
 
+        from pixie_tpu.voxel.voxelize import build_packed_grid_query
+
+        self._packed_grid_fn = build_packed_grid_query(
+            lambda params, pts: _query(params[0], params[1], pts),
+            lambda params, pts: _rgb(params[0], pts))
+
+    def query_packed_chunks(self, world_points, chunk_size, delta,
+                            alpha_weighted=True):
+        return self._packed_grid_fn(
+            (self.nerf_p, self.feat_p), np.asarray(world_points, np.float32),
+            chunk_size, delta, alpha_weighted)
+
     def query(self, pts):
         d, f = self._query_fn(self.nerf_p, self.feat_p, np.asarray(pts, np.float32))
         return {"density": d, "feature": f}

@@ -41,6 +41,7 @@ SLOW_MODULES = {
     "test_oracle_rollout",
     "test_recon_quality",
     "test_voxel_sim_e2e",
+    "test_voxelize_packed",
     "test_render_sim",
     "test_render_blender",
     "test_slab_windows",
