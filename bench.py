@@ -327,6 +327,11 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
+    # pay the remote tunnel's ~60 s first-fetch handshake once, up front,
+    # so it doesn't land inside (and skew) a stage timing (utils/device.py)
+    from pixie_tpu.utils.device import warm_transfer
+    warm_transfer()
+
     # Stage fault isolation (VERDICT r3 weak #1: an un-isolated realscene
     # compile crash zeroed the whole BENCH_r03 contract).  Each stage runs
     # under guard(); a failing stage records its error and the JSON line is

@@ -377,6 +377,11 @@ def main(argv=None):
     paths = get_output_paths(cfg, cfg.obj_id)
     create_directories(paths)
 
+    # pay the remote tunnel's ~60 s first-fetch handshake before any stage
+    # dispatches device work (see pixie_tpu/utils/device.py)
+    from pixie_tpu.utils.device import warm_transfer
+    warm_transfer()
+
     t0 = time.time()
     download_assets(cfg, paths)
     render_blender_images(cfg, paths)

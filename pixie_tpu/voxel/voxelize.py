@@ -296,6 +296,13 @@ def extract_feature_voxel_grid(
     total = flat.shape[0]
     timings: dict[str, float] = {}
 
+    # pay the remote tunnel's ~60 s first-fetch handshake NOW, on a
+    # 1-element array with an idle tunnel — if the alphas fetch below is
+    # the process's first device->host transfer it stalls 103-720 s
+    # instead (r4g measurement, docs/DESIGN.md "first-fetch handshake")
+    from pixie_tpu.utils.device import warm_transfer  # noqa: PLC0415
+    timings["tunnel_warm_s"] = warm_transfer()
+
     # every query runs at EXACTLY (batch_size, 3): ragged tails (and the old
     # 1-point feat-dim probe) are padded — each distinct shape costs a fresh
     # multi-minute remote TPU compile (r3: voxelize 645 s of a 1002 s
