@@ -271,7 +271,11 @@ class SimRenderer:
         vm = np.asarray(self.viewmats[frame_idx], np.float32)
         cam = self._camera()
         degree = {1: 0, 4: 1, 9: 2, 16: 3}.get(shs.shape[1], 3)
-        key = (cam, degree)
+        # key carries id()/shape of the gaussian payload so rebinding
+        # self.shs/opacity_act invalidates the device cache; IN-PLACE value
+        # mutation of the same arrays is NOT detected (payload is treated
+        # as rollout-constant — ADVICE r3)
+        key = (cam, degree, id(shs), shs.shape[0], id(opacity))
         if self._static_parts.get("render_key") != key:
             self._static_parts["render_key"] = key
             self._static_parts["render_jit"] = self._make_render_jit(cam, degree)
