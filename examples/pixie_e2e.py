@@ -127,6 +127,8 @@ def main():
         voxel_size=1.0 / grid, expected_grid=grid, batch_size=2048,
         nb_neighbors=10, run_outlier_filter=True,
     )
+    if "wait" in paths:  # stage 4 reads the features npy from disk
+        paths["wait"]()
     mask = np.load(paths["mask"])
     logging.info("[3] voxelized: %d occupied voxels (%.1fs)", int(mask.sum()),
                  time.time() - t0)

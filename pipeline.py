@@ -227,6 +227,14 @@ def generate_neural_segmentation(cfg, paths):
             CombinedInference, infer_single_device, load_params,
         )
 
+        g = cfg.training.default_grid_size
+        want = (g, g, g, cfg.training.feature_channels)
+        if tuple(vox["features_dev"].shape) != want:
+            raise ValueError(
+                f"device voxel grid {tuple(vox['features_dev'].shape)} != "
+                f"{want} expected by the U-Net — did you change "
+                f"voxelization.grid_size / training.default_grid_size / "
+                f"training.feature_channels?")
         infer = CombinedInference(
             load_params(seg_ckpt), load_params(cont_ckpt),
             grid_size=cfg.training.default_grid_size,

@@ -79,7 +79,7 @@ def tile_id_of(base_cell: jnp.ndarray, n_grid: int) -> jnp.ndarray:
 
 def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float,
                         box: bool = False, box_dims_min=None,
-                        n_blocks_min: int = 0):
+                        n_blocks_min: int = 0, base: np.ndarray | None = None):
     """Host-side layout build (amortized; runs at setup and every resort).
 
     Returns a dict with:
@@ -108,8 +108,14 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float,
     while the box ORIGIN reaches the jitted substep as a traced array, so a
     box migrating with falling material never recompiles.
     """
-    x = np.asarray(x)
-    base = np.floor(x * inv_dx - 0.5).astype(np.int32)
+    if base is None:
+        x = np.asarray(x)
+        base = np.floor(x * inv_dx - 0.5).astype(np.int32)
+    else:
+        # precomputed base cells (e.g. device-computed, fetched as int16:
+        # a third the tunnel bytes of the f32 positions) — the only thing
+        # the build consumes
+        base = np.asarray(base, np.int32)
     t = n_tiles(n_grid)
     tc = np.clip(base // TILE, 0, t - 1)
     slab = np.clip((base[:, 2] - tc[:, 2] * TILE) // SLAB, 0, NSLAB - 1)
@@ -190,6 +196,10 @@ def build_padded_layout(x: np.ndarray, n_grid: int, inv_dx: float,
         "box_tiles": box_tiles,
         "n_subtiles": n_sub,
         "n_blocks": n_blocks,
+        # host copies (free — built in numpy): unpad/compose consume these
+        # instead of fetching perm/occupied back over the tunnel
+        "perm_np": perm,
+        "occupied_np": occupied,
     }
 
 

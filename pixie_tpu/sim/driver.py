@@ -274,7 +274,14 @@ def run_simulation(
                 renderer.export_gaussian_ply(
                     ply_dir / f"frame_{frame:05d}.ply", pos_w, cov_w)
             render_times.append(render_dispatch_s + (time.time() - r0))
-        np.asarray(stepper.state.x)  # sync so frame timing is honest
+        # sync so frame timing is honest.  NOTE the two metrics overlap by
+        # design (ADVICE r4): frame_times is the per-frame WALL CLOCK — it
+        # includes the image fetch + PNG encode + PLY export above because
+        # that host work rides inside the frame window (behind the device's
+        # substep scan); render_times is the render-attributable slice of it
+        # (dispatch + drain).  frame_times is the number wall-clock claims
+        # come from; do not sum the two.
+        np.asarray(stepper.state.x)
         frame_times.append(time.time() - t0)
         if checkpoint_every and (frame + 1) % checkpoint_every == 0:
             from pixie_tpu.sim.engine_utils import (  # noqa: PLC0415

@@ -127,6 +127,15 @@ class SimRenderer:
     raster_opts: dict = field(default_factory=dict, repr=False)
     _static_parts: dict = field(default_factory=dict, repr=False)
 
+    def __setattr__(self, name, value):
+        # rebinding the gaussian payload bumps an explicit version used in
+        # the render-jit cache key — id()-keying is unsound because CPython
+        # reuses the id of a freed array (ADVICE r4)
+        if name in ("shs", "opacity_act", "unselected"):
+            self.__dict__["_payload_version"] = (
+                self.__dict__.get("_payload_version", 0) + 1)
+        object.__setattr__(self, name, value)
+
     @classmethod
     def from_camera_params(cls, camera_params: dict, model_path,
                            n_frames: int, shs, opacity_act, scale_origin,
@@ -271,11 +280,12 @@ class SimRenderer:
         vm = np.asarray(self.viewmats[frame_idx], np.float32)
         cam = self._camera()
         degree = {1: 0, 4: 1, 9: 2, 16: 3}.get(shs.shape[1], 3)
-        # key carries id()/shape of the gaussian payload so rebinding
-        # self.shs/opacity_act invalidates the device cache; IN-PLACE value
-        # mutation of the same arrays is NOT detected (payload is treated
-        # as rollout-constant — ADVICE r3)
-        key = (cam, degree, id(shs), shs.shape[0], id(opacity))
+        # key carries the payload version (bumped by __setattr__ on rebind)
+        # so rebinding self.shs/opacity_act/unselected invalidates the
+        # device cache; IN-PLACE value mutation of the same arrays is NOT
+        # detected (payload is treated as rollout-constant — ADVICE r3/r4)
+        key = (cam, degree, self.__dict__.get("_payload_version", 0),
+               shs.shape[0])
         if self._static_parts.get("render_key") != key:
             self._static_parts["render_key"] = key
             self._static_parts["render_jit"] = self._make_render_jit(cam, degree)

@@ -175,6 +175,51 @@ def pad_layout_for_mesh(layout: dict, n_dev: int) -> dict:
     return out
 
 
+def pad_particle_bcs_for_layout(bcs, layout) -> tuple:
+    """Gather particle-BC masks through a padded layout's permutation so the
+    mask rows align with the tile-sorted SoA slots (padding/filler slots get
+    0) — the sharded-path analog of FastMPMSolver._pad_particle_bcs.  After
+    this, a mask leaf has n_blocks*PBLK rows and shards over the mesh
+    exactly like the state rows, so every BC type runs on every sharded
+    path (reference applies all BCs regardless of scale,
+    mpm_solver_warp.py:514-637)."""
+    perm = jnp.asarray(layout["perm"])
+    occ = jnp.asarray(layout["occupied"])
+
+    def pad_bc(b):
+        if isinstance(b, bc_mod.PARTICLE_BC_TYPES):
+            m = jnp.take(jnp.asarray(b.mask), perm) * occ
+            return b.replace(mask=m)
+        return b
+
+    return tuple(pad_bc(b) for b in bcs)
+
+
+def _bc_specs(bcs, n_rows: int, part: P):
+    """Partition specs for a BC pytree: padded per-particle mask leaves
+    (first axis == n_rows) ride sharded; every other leaf is replicated."""
+    return jax.tree.map(
+        lambda a: part if (getattr(a, "ndim", 0) >= 1
+                           and a.shape[0] == n_rows) else P(),
+        bcs,
+    )
+
+
+def _shard_padded_bcs(bcs, part: NamedSharding | P):
+    """device_put layout-padded particle-BC masks with the particle
+    sharding (rollout wrappers; `part` may be a spec — then resolved by the
+    jit's in_shardings instead)."""
+    if not isinstance(part, NamedSharding):
+        return bcs
+
+    def put_bc(b):
+        if isinstance(b, bc_mod.PARTICLE_BC_TYPES):
+            return b.replace(mask=jax.device_put(b.mask, part))
+        return b
+
+    return tuple(put_bc(b) for b in bcs)
+
+
 def _soa_spec(sd: dict, axes: tuple) -> dict:
     """Partition specs for an SoA state dict: N rides the LAST axis of every
     entry ((N,) scalars, (3,N)/(6,N)/(9,N) rows), sharded over ``axes``."""
@@ -205,20 +250,23 @@ def simulate_substeps_fast_sharded(
 
     sd0 = solver_fast.state_to_soa(state_padded)
     sd_specs = _soa_spec(sd0, axes)
+    # particle-BC masks must be in padded layout order
+    # (pad_particle_bcs_for_layout); they then shard like the state rows
+    bc_specs = _bc_specs(bcs, state_padded.x.shape[0], part)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(sd_specs, part, P(axes, None)),
+        in_specs=(sd_specs, part, P(axes, None), bc_specs),
         out_specs=sd_specs,
         check_vma=False,
     )
-    def run(sd: dict, bt, tc) -> dict:
+    def run(sd: dict, bt, tc, bcs_l) -> dict:
         layout = {"block_tile": bt, "tile_coords": tc}
 
         def body(sd, step):
             t_now = time0 + step.astype(jnp.float32) * dt
             sd = solver_fast.p2g2p_fast_soa(
-                sd, layout, cfg, bcs, t_now, dt,
+                sd, layout, cfg, bcs_l, t_now, dt,
                 interpret=interpret, psum_axes=axes,
             )
             return sd, None
@@ -226,7 +274,7 @@ def simulate_substeps_fast_sharded(
         sd, _ = jax.lax.scan(body, sd, jnp.arange(n_substeps))
         return sd
 
-    sd = run(sd0, jnp.asarray(block_tile), jnp.asarray(tile_coords))
+    sd = run(sd0, jnp.asarray(block_tile), jnp.asarray(tile_coords), bcs)
     return solver_fast.soa_to_state(sd, state_padded)
 
 
@@ -253,9 +301,11 @@ def rollout_fast_sharded(state: MPMState, cfg: MPMConfig, mesh: Mesh,
         return jax.device_put(a, NamedSharding(mesh, P()))
 
     padded = jax.tree.map(put, padded)
+    bcs = _shard_padded_bcs(
+        pad_particle_bcs_for_layout(tuple(bcs), layout), part)
     out = simulate_substeps_fast_sharded(
         padded, layout["block_tile"], layout["tile_coords"],
-        layout["occupied"], cfg, tuple(bcs), jnp.float32(time0),
+        layout["occupied"], cfg, bcs, jnp.float32(time0),
         jnp.float32(dt), n_substeps, mesh, interpret=interpret,
     )
     return solver_fast.unpad_state(out, layout, state.n_particles)
@@ -370,32 +420,34 @@ def simulate_substeps_halo_sharded(
     assert len(mesh.axis_names) == 1, "halo sharding uses a 1-D mesh"
     ax = mesh.axis_names[0]
     n_dev = mesh.shape[ax]
-    assert not any(isinstance(b, bc_mod.PARTICLE_BC_TYPES) for b in bcs), \
-        "particle-BC masks are not sharded; use the psum path"
 
     sd0 = solver_fast.state_to_soa(state_padded)
     sd_specs = _soa_spec(sd0, (ax,))
     part = P(ax)
+    # particle-BC masks in padded layout order shard with the rows (r5:
+    # lifts the r4 "use the psum path" restriction — every BC type now runs
+    # halo-sharded, matching mpm_solver_warp.py:514-637's BC universality)
+    bc_specs = _bc_specs(bcs, state_padded.x.shape[0], part)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(sd_specs, part, P(ax, None)),
+        in_specs=(sd_specs, part, P(ax, None), bc_specs),
         out_specs=sd_specs,
         check_vma=False,
     )
-    def run(sd: dict, bt, tc) -> dict:
+    def run(sd: dict, bt, tc, bcs_l) -> dict:
         x_off = jax.lax.axis_index(ax) * nx
         layout = {"block_tile": bt, "tile_coords": tc,
                   "n_subtiles": n_subtiles}
 
         def grid_fn(windows, t_now):
             return solver_fast.grid_stage_halo(
-                windows, cfg, bcs, t_now, dt, ax, n_dev, nx, x_off)
+                windows, cfg, bcs_l, t_now, dt, ax, n_dev, nx, x_off)
 
         def body(sd, step):
             t_now = time0 + step.astype(jnp.float32) * dt
             sd = solver_fast.p2g2p_fast_soa(
-                sd, layout, cfg, bcs, t_now, dt,
+                sd, layout, cfg, bcs_l, t_now, dt,
                 interpret=interpret, grid_fn=grid_fn,
             )
             return sd, None
@@ -403,7 +455,7 @@ def simulate_substeps_halo_sharded(
         sd, _ = jax.lax.scan(body, sd, jnp.arange(n_substeps))
         return sd
 
-    sd = run(sd0, jnp.asarray(block_tile), jnp.asarray(tile_coords))
+    sd = run(sd0, jnp.asarray(block_tile), jnp.asarray(tile_coords), bcs)
     return solver_fast.soa_to_state(sd, state_padded)
 
 
@@ -429,9 +481,11 @@ def rollout_halo_sharded(state: MPMState, cfg: MPMConfig, mesh: Mesh,
         return jax.device_put(a, NamedSharding(mesh, P()))
 
     padded = jax.tree.map(put, padded)
+    bcs = _shard_padded_bcs(
+        pad_particle_bcs_for_layout(tuple(bcs), layout), part)
     out = simulate_substeps_halo_sharded(
         padded, layout["block_tile"], layout["tile_coords"], cfg,
-        tuple(bcs), jnp.float32(time0), jnp.float32(dt), n_substeps, mesh,
+        bcs, jnp.float32(time0), jnp.float32(dt), n_substeps, mesh,
         layout["nx"], layout["n_subtiles_local"], interpret=interpret,
     )
     return solver_fast.unpad_state(out, layout, state.n_particles)

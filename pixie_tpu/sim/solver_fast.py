@@ -63,13 +63,25 @@ def pad_state_to_layout(state: MPMState, layout) -> MPMState:
     )
 
 
-def unpad_state(state_padded: MPMState, layout, n_particles: int) -> MPMState:
-    """Scatter padded slots back to original particle order (for exports)."""
-    perm = np.asarray(layout["perm"])
-    occ = np.asarray(layout["occupied"]) > 0
+def inverse_perm(layout, n_particles: int) -> np.ndarray:
+    """(n_particles,) padded-slot index of each original particle.  Prefers
+    the layout's host copies (perm_np/occupied_np) — falling back to a
+    device fetch costs a multi-MB tunnel round-trip per call."""
+    perm = layout.get("perm_np")
+    occ = layout.get("occupied_np")
+    if perm is None:
+        perm = np.asarray(layout["perm"])
+    if occ is None:
+        occ = np.asarray(layout["occupied"])
+    occ = occ > 0
     inv = np.zeros(n_particles, np.int32)
     inv[perm[occ]] = np.nonzero(occ)[0].astype(np.int32)
-    inv_j = jnp.asarray(inv)
+    return inv
+
+
+def unpad_state(state_padded: MPMState, layout, n_particles: int) -> MPMState:
+    """Scatter padded slots back to original particle order (for exports)."""
+    inv_j = jnp.asarray(inverse_perm(layout, n_particles))
 
     def take(a):
         return jnp.take(a, inv_j, axis=0)

@@ -71,10 +71,12 @@ def viz_seg_candidates(
             from pixie_tpu.voxel.voxelize import extract_feature_voxel_grid  # noqa: PLC0415
 
             adapter = load_field_adapter(paths["nerf_output"])
-            extract_feature_voxel_grid(
+            vox = extract_feature_voxel_grid(
                 adapter, fine_npz, voxel_size=1.0 / grid_size,
                 gray_threshold_for_mask=gray_threshold, expected_grid=None,
             )
+            if "wait" in vox:  # features npy is read from disk below
+                vox["wait"]()
         except Exception as e:  # noqa: BLE001
             logging.warning("fine re-voxelization unavailable (%s)", e)
 

@@ -166,18 +166,66 @@ def lattice_nonnoise_mask(
         return np.zeros(0, bool)
     from scipy.signal import fftconvolve  # noqa: PLC0415
 
-    occ = np.zeros(shape, np.float32)
+    # float64 FFTs: at production 64^3 grids with 10^5+ occupied voxels the
+    # float32 transform's roundoff can approach 0.5 at the counts==min_points
+    # boundary (ADVICE r4); in double the margin is ~1e-9
+    occ = np.zeros(shape, np.float64)
     occ[tuple(ijk.T)] = 1.0
     rr = int(np.floor(r_lattice + 1e-6))
     g = np.arange(-rr, rr + 1)
     ball = (
         (g[:, None, None] ** 2 + g[None, :, None] ** 2 + g[None, None, :] ** 2)
         <= r_lattice * r_lattice + 1e-6
-    ).astype(np.float32)
+    ).astype(np.float64)
     counts = np.rint(fftconvolve(occ, ball, mode="same"))
     core = (occ > 0) & (counts >= min_points)
-    near_core = np.rint(fftconvolve(core.astype(np.float32), ball, mode="same"))
+    near_core = np.rint(fftconvolve(core.astype(np.float64), ball, mode="same"))
     keep = (occ > 0) & (near_core > 0)
+    return keep[tuple(ijk.T)]
+
+
+def _ball_kernel(r_lattice: float) -> np.ndarray:
+    rr = int(np.floor(r_lattice + 1e-6))
+    g = np.arange(-rr, rr + 1)
+    return (
+        (g[:, None, None] ** 2 + g[None, :, None] ** 2 + g[None, None, :] ** 2)
+        <= r_lattice * r_lattice + 1e-6
+    ).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("min_points",))
+def _lattice_keep_grid(occ_bool, ball, min_points: int):
+    """Device half of lattice_nonnoise_mask: two ball convolutions over the
+    occupancy grid (counts -> core -> near-core), f32 at HIGHEST precision so
+    the 0/1 sums (<= |ball| ~ 515 at r=5) stay exact integers on the MXU."""
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x[None, None], ball[None, None], window_strides=(1, 1, 1),
+            padding="SAME", precision=jax.lax.Precision.HIGHEST)[0, 0]
+
+    occ = occ_bool.astype(jnp.float32)
+    counts = jnp.round(conv(occ))
+    core = occ_bool & (counts >= min_points)
+    near_core = conv(core.astype(jnp.float32))
+    return occ_bool & (near_core > 0.5)
+
+
+def lattice_nonnoise_mask_device(
+    ijk: np.ndarray, shape, r_lattice: float, min_points: int = 10
+) -> np.ndarray:
+    """lattice_nonnoise_mask with the convolutions on device.
+
+    Same exact-DBSCAN semantics; moves ~0.5 MB over the tunnel (bool grid
+    out, bool grid back) instead of paying 2-10 s of host-FFT time on the
+    contended 1-CPU box (docs/DESIGN.md r4h voxelize variance)."""
+    if len(ijk) == 0:
+        return np.zeros(0, bool)
+    occ = np.zeros(shape, bool)
+    occ[tuple(ijk.T)] = True
+    keep = np.asarray(_lattice_keep_grid(
+        jnp.asarray(occ), jnp.asarray(_ball_kernel(r_lattice)),
+        int(min_points)))
     return keep[tuple(ijk.T)]
 
 
@@ -218,10 +266,16 @@ def create_occupancy_mask(
         t0 = time.perf_counter()
         if os.environ.get("PIXIE_LATTICE_DBSCAN", "1") == "1":
             # grid points are a regular lattice with spacing voxel_size and
-            # eps = eps_multiplier * voxel_size -> exact DBSCAN by FFT
-            # morphology on the grid (lattice_nonnoise_mask docstring)
+            # eps = eps_multiplier * voxel_size -> exact DBSCAN by grid
+            # morphology (lattice_nonnoise_mask docstring); default runs the
+            # convolutions on device (~0.5 MB traffic, kills the 2-10 s
+            # host-FFT variance), PIXIE_LATTICE_DEVICE=0 keeps them host-side
             ijk = np.stack(np.unravel_index(idx, shape), axis=1)
-            cluster_keep = lattice_nonnoise_mask(
+            lattice_fn = (
+                lattice_nonnoise_mask_device
+                if os.environ.get("PIXIE_LATTICE_DEVICE", "1") == "1"
+                else lattice_nonnoise_mask)
+            cluster_keep = lattice_fn(
                 ijk, shape, r_lattice=eps_multiplier,
                 min_points=min_cluster_pts)
         else:
@@ -317,7 +371,9 @@ def extract_feature_voxel_grid(
     # own alpha cut and excluded from training/inference loss anyway.
     sparse_fetch = os.environ.get("PIXIE_VOX_SPARSE_FETCH", "1") == "1"
     if async_fetch is None:
-        async_fetch = os.environ.get("PIXIE_VOX_ASYNC_FETCH", "0") == "1"
+        # default ON since r5: the fetch drain is fully hidden behind the
+        # downstream stages and wait() now re-raises drain failures
+        async_fetch = os.environ.get("PIXIE_VOX_ASYNC_FETCH", "1") == "1"
     async_fetch = async_fetch and sparse_fetch
 
     # packed fast path (default when the field supports it): ONE jitted
@@ -413,16 +469,29 @@ def extract_feature_voxel_grid(
             parts = [jnp.take(fd, jnp.asarray(idx[i:i + ck]), axis=0)
                      for i in range(0, npad, ck)]
 
+        drain_err: list[BaseException] = []
+
         def _drain_and_save():
-            td = time.perf_counter()
-            feats = np.zeros((total, feat_dim), np.float16)
-            if parts:
-                rows = np.concatenate([np.asarray(p) for p in parts], axis=0)
-                feats[keep] = rows[: len(keep)]
-            drain_timings["fetch_bg_s"] = time.perf_counter() - td
-            td = time.perf_counter()
-            np.save(feat_npy_path, feats.reshape(*shape, feat_dim))
-            drain_timings["save_feat_s"] = time.perf_counter() - td
+            # atomic write: a reader never sees a partial npy, and any
+            # failure is re-raised from wait() instead of being swallowed
+            # with the pipeline logging success (ADVICE r4)
+            try:
+                td = time.perf_counter()
+                feats = np.zeros((total, feat_dim), np.float16)
+                if parts:
+                    rows = np.concatenate(
+                        [np.asarray(p) for p in parts], axis=0)
+                    feats[keep] = rows[: len(keep)]
+                drain_timings["fetch_bg_s"] = time.perf_counter() - td
+                td = time.perf_counter()
+                tmp = feat_npy_path + ".tmp"
+                with open(tmp, "wb") as f:
+                    np.save(f, feats.reshape(*shape, feat_dim))
+                os.replace(tmp, feat_npy_path)
+                drain_timings["save_feat_s"] = time.perf_counter() - td
+            except BaseException as e:  # noqa: BLE001 — re-raised in wait()
+                drain_err.append(e)
+                raise
 
         if async_fetch:
             # the HOST artifact zero-fills sub-threshold rows; mirror that
@@ -490,6 +559,10 @@ def extract_feature_voxel_grid(
 
         def _wait() -> dict:
             drain_thread.join()
+            if drain_err:
+                raise RuntimeError(
+                    f"voxel feature drain failed; {feat_npy_path} was NOT "
+                    f"written") from drain_err[0]
             timings.update(drain_timings)
             return timings
 

@@ -54,6 +54,9 @@ SLOW_MODULES = {
     "test_gs_blend",
     "test_filling",
     "test_gaussians",
+    # 124 s of session-fixture setup alone (r4 verdict weak #3): the joint
+    # block-diagonal U-Net init/compile belongs in the full suite
+    "test_joint",
 }
 
 

@@ -228,6 +228,69 @@ class TestHaloSharded:
 
 
 class TestShardedParticleBCs:
+    def test_impulse_on_fast_psum_path(self):
+        """Particle BCs on the Pallas fast path under shard_map: masks are
+        gathered through the layout permutation (pad_particle_bcs_for_layout)
+        and shard with the rows — parity vs single-device FastMPMSolver."""
+        from pixie_tpu.sim.bc import ParticleImpulse
+        from pixie_tpu.sim.solver_dist import rollout_fast_sharded
+        from pixie_tpu.sim.solver_fast import FastMPMSolver
+
+        n = 8000
+        st = _state(n, seed=8)
+        mask = (np.asarray(st.x)[:, 2] > 1.0).astype(np.float32)
+        bc = ParticleImpulse(
+            force=jnp.array([0.0, 0.0, 20.0]), mask=jnp.asarray(mask),
+            start_time=0.0, end_time=1.0)
+        cfg = MPMConfig(n_grid=24, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(0,))
+        solo = FastMPMSolver(_state(n, seed=8), cfg, bcs=(bc,),
+                             interpret=True)
+        solo.step_frame(8, 1e-4)
+        ref = solo.state
+
+        mesh = get_mesh(dp=4, sp=2)
+        out = rollout_fast_sharded(_state(n, seed=8), cfg, mesh, bcs=(bc,),
+                                   n_substeps=8, dt=1e-4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                                   atol=1e-4)
+
+    def test_impulse_on_halo_path(self):
+        """Particle BCs on the x-slab halo-sharded path (r4 verdict missing
+        #3: the tree config's impulse must run halo-sharded) — parity vs
+        single-device FastMPMSolver, assert lifted."""
+        from jax.sharding import Mesh
+
+        from pixie_tpu.sim.bc import ParticleImpulse
+        from pixie_tpu.sim.solver_dist import rollout_halo_sharded
+        from pixie_tpu.sim.solver_fast import FastMPMSolver
+
+        n = 12_000
+        st = _state(n, seed=9)
+        mask = (np.asarray(st.x)[:, 2] > 1.0).astype(np.float32)
+        bc = ParticleImpulse(
+            force=jnp.array([0.0, 0.0, 20.0]), mask=jnp.asarray(mask),
+            start_time=0.0, end_time=1.0)
+        cfg = MPMConfig(n_grid=96, grid_lim=2.0, gravity=(0.0, 0.0, -9.8),
+                        active_materials=(0,))
+        solo = FastMPMSolver(_state(n, seed=9), cfg, bcs=(bc,),
+                             interpret=True)
+        solo.step_frame(8, 1e-4)
+        ref = solo.state
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+        out = rollout_halo_sharded(_state(n, seed=9), cfg, mesh, bcs=(bc,),
+                                   n_substeps=8, dt=1e-4, interpret=True)
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
+                                   atol=1e-4)
+        m = mask > 0
+        vz = np.asarray(out.v)[:, 2]
+        assert vz[m].mean() > vz[~m].mean()  # the impulse actually applied
+
     def test_impulse_mask_sharded_with_particles(self):
         """Particle-BC masks live OUTSIDE the state pytree; shard_particles
         must pad + shard them alongside the rows (regression: a replicated

@@ -37,6 +37,9 @@ class TestVoxelizer:
             SphereField(), out, voxel_size=1.0 / 32, expected_grid=32,
             batch_size=2048, nb_neighbors=10,
         )
+        # async drain is the default since r5; join before reading the npy
+        assert "wait" in paths
+        paths["wait"]()
         feats = np.load(paths["features"])
         assert feats.shape == (32, 32, 32, 16)
         assert feats.dtype == np.float16
@@ -70,6 +73,51 @@ class TestVoxelizer:
             got = lattice_nonnoise_mask(ijk, shape, r_lattice=eps_mult,
                                         min_points=min_pts)
             np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("seed,density", [(0, 0.02), (1, 0.3)])
+    def test_lattice_device_matches_host(self, seed, density):
+        """The jitted conv morphology (device lattice DBSCAN) is bit-equal
+        to the host FFT version, hence to sklearn DBSCAN."""
+        from pixie_tpu.voxel.voxelize import (lattice_nonnoise_mask,
+                                              lattice_nonnoise_mask_device)
+
+        rng = np.random.default_rng(seed)
+        shape = (48, 48, 48)
+        occ = rng.random(shape) < density
+        occ[2, 2, 2] = True  # isolated noise blob
+        ijk = np.argwhere(occ)
+        for eps_mult, min_pts in [(5.0, 10), (2.0, 5)]:
+            host = lattice_nonnoise_mask(ijk, shape, r_lattice=eps_mult,
+                                         min_points=min_pts)
+            dev = lattice_nonnoise_mask_device(ijk, shape,
+                                               r_lattice=eps_mult,
+                                               min_points=min_pts)
+            np.testing.assert_array_equal(dev, host)
+        assert lattice_nonnoise_mask_device(
+            np.zeros((0, 3), np.int64), shape, 5.0).shape == (0,)
+
+    def test_drain_failure_raises_from_wait(self, tmp_path, monkeypatch):
+        """A failed background feature drain must surface from wait() and
+        must not leave a partial *_features.npy visible (ADVICE r4)."""
+        import pixie_tpu.voxel.voxelize as vox
+        from pixie_tpu.voxel.voxelize import extract_feature_voxel_grid
+
+        real_replace = vox.os.replace
+
+        def boom(src, dst):
+            if dst.endswith("_features.npy"):
+                raise OSError("disk full (injected)")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(vox.os, "replace", boom)
+        paths = extract_feature_voxel_grid(
+            SphereField(), tmp_path / "clip_features.npz",
+            voxel_size=1.0 / 32, expected_grid=32, batch_size=2048,
+            nb_neighbors=10, async_fetch=True,
+        )
+        with pytest.raises(RuntimeError, match="drain failed"):
+            paths["wait"]()
+        assert not Path(paths["features"]).exists()
 
     def test_knn_mean_dist_matches_knn(self):
         from pixie_tpu.sim.material_field import knn, knn_mean_dist

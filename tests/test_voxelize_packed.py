@@ -75,6 +75,8 @@ def test_extract_artifacts_match_fallback(adapter, tmp_path, monkeypatch):
             alpha_threshold_for_mask=0.0, expected_grid=16,
         )
         outs[flag] = paths
+        if "wait" in paths:  # async drain is the default since r5
+            paths["wait"]()
         assert Path(paths["features"]).exists()
 
     for key in ("features", "alphas", "rgb", "mask"):
