@@ -171,6 +171,15 @@ def pad_layout_for_mesh(layout: dict, n_dev: int) -> dict:
     out["occupied"] = jnp.concatenate(
         [jnp.asarray(layout["occupied"]),
          jnp.zeros((pad * tiling.PBLK,), jnp.float32)])
+    # keep the host copies (consumed by unpad/inverse_perm) in sync
+    if "perm_np" in layout:
+        out["perm_np"] = np.concatenate(
+            [np.asarray(layout["perm_np"]),
+             np.zeros(pad * tiling.PBLK, np.int32)])
+    if "occupied_np" in layout:
+        out["occupied_np"] = np.concatenate(
+            [np.asarray(layout["occupied_np"]),
+             np.zeros(pad * tiling.PBLK, np.float32)])
     out["n_blocks"] = nb + pad
     return out
 
@@ -393,15 +402,19 @@ def build_halo_layout(x: np.ndarray, n_grid: int, inv_dx: float,
         occ.append(o)
         btile.append(bt)
         tcoords.append(tcg)
+    perm_np = np.concatenate(perm)
+    occ_np = np.concatenate(occ)
     return {
-        "perm": jnp.asarray(np.concatenate(perm)),
-        "occupied": jnp.asarray(np.concatenate(occ)),
+        "perm": jnp.asarray(perm_np),
+        "occupied": jnp.asarray(occ_np),
         "block_tile": jnp.asarray(np.concatenate(btile)),
         "tile_coords": jnp.asarray(np.concatenate(tcoords, axis=0)),
         "n_blocks": nb_local * n_dev,
         "n_blocks_local": nb_local,
         "n_subtiles_local": n_sub,
         "nx": nx,
+        "perm_np": perm_np,
+        "occupied_np": occ_np,
     }
 
 

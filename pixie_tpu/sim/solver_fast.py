@@ -34,18 +34,10 @@ from pixie_tpu.sim.types import MPMConfig, MPMState
 MM_FOLD = os.environ.get("PIXIE_MM_FOLD", "1") == "1"
 
 
-def pad_state_to_layout(state: MPMState, layout) -> MPMState:
-    """Gather state arrays into the padded tile-sorted slot order.
-
-    Padding slots get zero mass/volume (their transfer contributions vanish)
-    and selection=1 (skipped by the constitutive update).
-    """
-    perm = layout["perm"]
-    occ = layout["occupied"]
-
+@jax.jit
+def _pad_state_jit(state: MPMState, perm, occ) -> MPMState:
     def take(a):
-        out = jnp.take(a, perm, axis=0)
-        return out
+        return jnp.take(a, perm, axis=0)
 
     st = jax.tree.map(take, state)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), st.F.shape)
@@ -61,6 +53,19 @@ def pad_state_to_layout(state: MPMState, layout) -> MPMState:
         mu=jnp.where(occb, st.mu, 1.0),
         lam=jnp.where(occb, st.lam, 1.0),
     )
+
+
+def pad_state_to_layout(state: MPMState, layout) -> MPMState:
+    """Gather state arrays into the padded tile-sorted slot order.
+
+    Padding slots get zero mass/volume (their transfer contributions vanish)
+    and selection=1 (skipped by the constitutive update).  ONE jitted
+    program: the eager form cost ~40 dispatches x the remote per-dispatch
+    round-trip tax — 1.25 s of the r4 realscene 2.3 s resort event
+    (docs/DESIGN.md); shapes are bucketed so resorts reuse the compile.
+    """
+    return _pad_state_jit(state, jnp.asarray(layout["perm"]),
+                          jnp.asarray(layout["occupied"]))
 
 
 def inverse_perm(layout, n_particles: int) -> np.ndarray:
@@ -79,14 +84,42 @@ def inverse_perm(layout, n_particles: int) -> np.ndarray:
     return inv
 
 
+@jax.jit
+def _unpad_state_jit(state_padded: MPMState, inv) -> MPMState:
+    return jax.tree.map(lambda a: jnp.take(a, inv, axis=0), state_padded)
+
+
 def unpad_state(state_padded: MPMState, layout, n_particles: int) -> MPMState:
-    """Scatter padded slots back to original particle order (for exports)."""
-    inv_j = jnp.asarray(inverse_perm(layout, n_particles))
+    """Gather padded slots back to original particle order (for exports).
+    One jitted program (same dispatch-tax rationale as pad_state_to_layout)."""
+    return _unpad_state_jit(state_padded,
+                            jnp.asarray(inverse_perm(layout, n_particles)))
 
-    def take(a):
-        return jnp.take(a, inv_j, axis=0)
 
-    return jax.tree.map(take, state_padded)
+@jax.jit
+def _compact_base_cells(x_padded, inv, inv_dx):
+    """Base cells of the compact (original-order) particles, gathered from
+    the padded positions — int16 so the resort's layout-build fetch moves
+    2 bytes/axis instead of 4 (n_grid < 32768 always holds)."""
+    xc = jnp.take(x_padded, inv, axis=0)
+    return tiling.base_cell_of(xc, inv_dx).astype(jnp.int16)
+
+
+@jax.jit
+def _base_cells_i16(x, inv_dx):
+    return tiling.base_cell_of(x, inv_dx).astype(jnp.int16)
+
+
+@jax.jit
+def _count_out_of_window(x_padded, tile_coords, occupied, inv_dx):
+    """Number of occupied slots whose base cell left its window's +/-1-cell
+    drift band (these particles are clamped to the window edge in-kernel)."""
+    base = tiling.base_cell_of(x_padded, inv_dx)
+    origin = jnp.asarray(tiling.ORIGIN, jnp.int32)
+    u0 = base - jnp.repeat(tile_coords, tiling.PBLK, axis=0) * origin + 1
+    hi = jnp.asarray(tiling.U0_HI, jnp.int32)
+    bad = jnp.any((u0 < 0) | (u0 > hi), axis=1) & (occupied > 0)
+    return jnp.sum(bad.astype(jnp.int32))
 
 
 def _tile_coords_per_slot(layout):
@@ -642,27 +675,70 @@ class FastMPMSolver:
     def _resort(self):
         rs = self.resort_stats
         rs["n"] += 1
-        t0 = time.perf_counter()
-        x = np.asarray(self._compact_state.x)
-        rs["x_fetch_s"] += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        self._layout = tiling.build_padded_layout(
-            x, self.cfg.n_grid, self.cfg.inv_dx, box=self.use_box,
-            box_dims_min=self._box_dims_max,
-            n_blocks_min=self._n_blocks_max,
+        composed = (
+            self._padded is not None and self._compact_dirty
+            and os.environ.get("PIXIE_COMPOSED_RESORT", "1") == "1"
         )
-        rs["build_s"] += time.perf_counter() - t0
+        if composed:
+            # COMPOSED resort (r4 verdict weak #1: the 2.3 s unpad->host->pad
+            # chain): never materialize the compact state.  The new layout's
+            # perm maps new slots -> original particle ids; composing with
+            # the old inverse maps new slots -> OLD PADDED slots, so the
+            # whole re-layout is ONE device gather of the padded state
+            # instead of two, and the host build consumes device-computed
+            # int16 base cells (1/3 the tunnel bytes of the f32 positions).
+            t0 = time.perf_counter()
+            inv_old = inverse_perm(self._layout, self.n_particles)
+            base = np.asarray(_compact_base_cells(
+                self._padded.x, jnp.asarray(inv_old),
+                jnp.float32(self.cfg.inv_dx)))
+            rs["x_fetch_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            self._layout = tiling.build_padded_layout(
+                None, self.cfg.n_grid, self.cfg.inv_dx, box=self.use_box,
+                box_dims_min=self._box_dims_max,
+                n_blocks_min=self._n_blocks_max, base=base,
+            )
+            rs["build_s"] += time.perf_counter() - t0
+            old_padded = self._padded
+        else:
+            if self._padded is not None and self._compact_dirty:
+                t0 = time.perf_counter()
+                self._compact_state = unpad_state(
+                    self._padded, self._layout, self.n_particles)
+                rs["unpad_s"] += time.perf_counter() - t0
+                self._compact_dirty = False
+            t0 = time.perf_counter()
+            base = np.asarray(_base_cells_i16(
+                self._compact_state.x, jnp.float32(self.cfg.inv_dx)))
+            rs["x_fetch_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            self._layout = tiling.build_padded_layout(
+                None, self.cfg.n_grid, self.cfg.inv_dx, box=self.use_box,
+                box_dims_min=self._box_dims_max,
+                n_blocks_min=self._n_blocks_max, base=base,
+            )
+            rs["build_s"] += time.perf_counter() - t0
         if self.use_box:
             self._box_dims_max = self._layout["box_tiles"]
         self._n_blocks_max = max(self._n_blocks_max,
                                  int(self._layout["n_blocks"]))
         t0 = time.perf_counter()
-        self._padded = pad_state_to_layout(self._compact_state, self._layout)
+        if composed:
+            comp = inv_old[self._layout["perm_np"]]
+            self._padded = pad_state_to_layout(
+                old_padded,
+                {"perm": jnp.asarray(comp),
+                 "occupied": self._layout["occupied"]},
+            )
+            # compact state stays stale; unpad happens lazily via .state
+        else:
+            self._padded = pad_state_to_layout(
+                self._compact_state, self._layout)
         rs["pad_s"] += time.perf_counter() - t0
         t0 = time.perf_counter()
         self._bcs_padded = self._pad_particle_bcs()
         rs["bc_pad_s"] += time.perf_counter() - t0
-        self._compact_dirty = False
 
     def _pad_particle_bcs(self):
         """Particle-BC masks are per-particle in ORIGINAL order; the SoA
@@ -681,27 +757,35 @@ class FastMPMSolver:
         return tuple(pad_bc(b) for b in self.bcs)
 
     def _needs_resort(self) -> bool:
-        """True when any occupied particle drifted beyond the +/-1 cell the
-        node windows absorb (u0 outside the per-axis [0, U0_HI])."""
+        """True when more than ``resort_tol`` of the occupied particles
+        drifted beyond the +/-1 cell the node windows absorb (u0 outside the
+        per-axis [0, U0_HI]).
+
+        tol = 0 (default) resorts on ANY drifted particle — the exact
+        policy.  ``PIXIE_RESORT_TOL`` (fraction of n_particles, e.g. 2e-4)
+        tolerates that many clamped particles per frame before paying a
+        resort; clamping is the SAME approximation the solver already
+        applies to particles that drift out mid-frame (the 400-substep
+        frame scan never resorts), so a small tolerance extends an existing
+        error budget rather than introducing a new one.  Skips and the
+        worst clamped count are recorded in resort_stats."""
         if self._padded is None:
             return True
         lay = self._layout
-        base = tiling.base_cell_of(self._padded.x, self.cfg.inv_dx)
-        origin = jnp.asarray(tiling.ORIGIN, jnp.int32)
-        u0 = base - jnp.repeat(lay["tile_coords"], tiling.PBLK, axis=0) * origin + 1
-        occ = lay["occupied"] > 0
-        hi = jnp.asarray(tiling.U0_HI, jnp.int32)
-        bad = jnp.any(occ[:, None] & ((u0 < 0) | (u0 > hi)))
-        return bool(bad)
+        n_bad = int(_count_out_of_window(
+            self._padded.x, lay["tile_coords"], lay["occupied"],
+            jnp.float32(self.cfg.inv_dx)))
+        tol = float(os.environ.get("PIXIE_RESORT_TOL", "0"))
+        if n_bad > tol * self.n_particles:
+            return True
+        if n_bad:
+            rs = self.resort_stats
+            rs["skipped"] = rs.get("skipped", 0) + 1
+            rs["max_clamped"] = max(rs.get("max_clamped", 0), n_bad)
+        return False
 
     def step_frame(self, n_substeps: int, dt: float):
         if self._needs_resort():
-            if self._padded is not None and self._compact_dirty:
-                t0 = time.perf_counter()
-                self._compact_state = unpad_state(
-                    self._padded, self._layout, self.n_particles
-                )
-                self.resort_stats["unpad_s"] += time.perf_counter() - t0
             self._resort()
         lay = self._layout
         # fused path per FRAME: particle BCs are usually time-bounded (the

@@ -150,6 +150,64 @@ class TestFastSolverFrames:
         )
 
 
+class TestComposedResort:
+    def test_composed_resort_matches_legacy(self, monkeypatch):
+        """The one-gather composed resort (new slots gathered straight from
+        old padded slots) is bit-identical to the legacy unpad->build->pad
+        chain over a multi-frame rollout with real drift (r4 verdict: the
+        2.3 s/resort realscene tax)."""
+        outs = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("PIXIE_COMPOSED_RESORT", flag)
+            st, cfg = random_state(n=400, with_velocity=True)
+            st = st.replace(v=st.v * 15.0)  # ~0.06 m/frame >> 1-cell slack
+            solver = FastMPMSolver(st, cfg, interpret=INTERPRET)
+            for _ in range(4):
+                solver.step_frame(20, 2e-4)
+            outs[flag] = solver
+        assert outs["1"].resort_stats["n"] >= 2, "no resort exercised"
+        for field in ("x", "v", "F", "C", "stress", "mass"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(outs["0"].state, field)),
+                np.asarray(getattr(outs["1"].state, field)),
+                err_msg=field)
+
+    def test_composed_resort_with_particle_bc(self, monkeypatch):
+        """Particle-BC masks re-permute correctly across composed resorts."""
+        from pixie_tpu.sim.bc import ParticleImpulse
+
+        outs = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("PIXIE_COMPOSED_RESORT", flag)
+            st, cfg = random_state(n=300, with_velocity=True)
+            mask = (np.asarray(st.x)[:, 2] > 1.0).astype(np.float32)
+            bc = ParticleImpulse(force=jnp.array([0.0, 0.0, 30.0]),
+                                 mask=jnp.asarray(mask),
+                                 start_time=0.0, end_time=1.0)
+            solver = FastMPMSolver(st, cfg, bcs=(bc,), interpret=INTERPRET)
+            for _ in range(3):
+                solver.step_frame(15, 2e-4)
+            outs[flag] = solver
+        np.testing.assert_array_equal(np.asarray(outs["0"].state.x),
+                                      np.asarray(outs["1"].state.x))
+        np.testing.assert_array_equal(np.asarray(outs["0"].state.v),
+                                      np.asarray(outs["1"].state.v))
+
+    def test_resort_tolerance_skips_and_counts(self, monkeypatch):
+        """PIXIE_RESORT_TOL=1 (tolerate anything) must skip every resort
+        after the first build and record the clamped count."""
+        monkeypatch.setenv("PIXIE_RESORT_TOL", "1.0")
+        st, cfg = random_state(n=400, with_velocity=True)
+        st = st.replace(v=st.v * 15.0)
+        solver = FastMPMSolver(st, cfg, interpret=INTERPRET)
+        for _ in range(4):
+            solver.step_frame(20, 2e-4)
+        assert solver.resort_stats["n"] == 1  # only the initial build
+        assert solver.resort_stats.get("skipped", 0) >= 1
+        assert solver.resort_stats.get("max_clamped", 0) >= 1
+        assert np.isfinite(np.asarray(solver.state.x)).all()
+
+
 class TestMultiMaterial:
     def test_sand_snow_metal_rollout_stable(self):
         """Mixed constitutive models through the fast path (the real-scene
