@@ -385,10 +385,12 @@ def main(argv=None):
     paths = get_output_paths(cfg, cfg.obj_id)
     create_directories(paths)
 
-    # pay the remote tunnel's ~60 s first-fetch handshake before any stage
-    # dispatches device work (see pixie_tpu/utils/device.py)
-    from pixie_tpu.utils.device import warm_transfer
-    warm_transfer()
+    # open the remote tunnel's device->host path NOW without blocking: the
+    # handshake (60 s typical, 1477 s worst observed, r5a) completes in the
+    # background behind the render/field stages; voxelize's warm_transfer()
+    # joins it later at ~zero cost (see pixie_tpu/utils/device.py)
+    from pixie_tpu.utils.device import warm_dispatch
+    warm_dispatch()
 
     t0 = time.time()
     download_assets(cfg, paths)

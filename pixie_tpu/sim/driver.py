@@ -25,7 +25,7 @@ from pixie_tpu.sim import transforms as tf
 from pixie_tpu.sim.bc import build_boundary_conditions
 from pixie_tpu.sim.params import decode_param_json
 from pixie_tpu.sim.solver import MPMSolver
-from pixie_tpu.utils.device import warm_transfer
+from pixie_tpu.utils.device import warm_dispatch
 from pixie_tpu.utils.io import load_material_ply, make_material_vertex, write_ply
 
 
@@ -67,9 +67,10 @@ def run_simulation(
     """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    # pay the remote tunnel's first-fetch handshake before the rollout so
-    # the first frame's position fetch doesn't stall ~60 s (utils/device.py)
-    warm_transfer()
+    # open the tunnel's device->host path WITHOUT blocking: the handshake
+    # completes behind the rollout's first (multi-minute) compile, and the
+    # first frame's position fetch joins it at ~zero cost (utils/device.py)
+    warm_dispatch()
     (material_params, bc_params, time_params, preprocessing_params,
      camera_params) = decode_param_json(config_path)
 

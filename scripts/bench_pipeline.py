@@ -107,6 +107,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # non-blocking tunnel warm: the handshake hides behind the field-adapter
+    # compiles below; voxelize's internal warm_transfer() joins it later
+    from pixie_tpu.utils.device import warm_dispatch
+    warm_dispatch()
+
     out = Path(args.out)
     shutil.rmtree(out, ignore_errors=True)
     out.mkdir(parents=True)

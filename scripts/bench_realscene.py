@@ -87,6 +87,11 @@ def main():
         x, vol, density=density, E=E, nu=nu, material=material,
         yield_stress=ys,
     ))
+    # handshake hygiene: dispatch the async tunnel warm now (hides behind
+    # the multi-minute frame-0 compile), join before the timed loop so the
+    # first resort's base-cell fetch never eats a 60+ s stall
+    from pixie_tpu.utils.device import warm_dispatch, warm_transfer
+    warm_dispatch()
     solver = FastMPMSolver(st, cfg)
 
     substep_dt = 1e-4
@@ -100,7 +105,8 @@ def main():
     solver.step_frame(n_sub, substep_dt)
     jax.block_until_ready(solver._padded.x)
     compile_s = time.perf_counter() - t0
-    print(f"frame 0 (compile+run): {compile_s:.1f}s", flush=True)
+    print(f"frame 0 (compile+run): {compile_s:.1f}s "
+          f"(warm join {warm_transfer():.2f}s)", flush=True)
 
     frame_times = []
     for f in range(args.frames):
