@@ -182,9 +182,10 @@ def render_rays(
         u2 = jnp.broadcast_to(
             jnp.linspace(0.0, 1.0 - 1e-4, cfg.n_fine), (n_rays, cfg.n_fine)
         )
+    # left-bisect as dense compare-count (see _searchsorted_right)
     idx = jnp.clip(
-        jnp.searchsorted(cdf[0], u2[0])[None, :] * 0 +
-        jax.vmap(jnp.searchsorted)(cdf, u2), 0, cfg.n_coarse - 1
+        jnp.sum(cdf[..., None, :] < u2[..., :, None], axis=-1)
+        .astype(jnp.int32), 0, cfg.n_coarse - 1
     )
     t_f = jnp.take_along_axis(t_c, idx, axis=-1)
 
@@ -234,6 +235,20 @@ def _weights_from_sigma(sigma, t_edges):
     return alpha * trans
 
 
+def _searchsorted_right(sorted_ref, queries):
+    """Batched right-bisect via compare-and-count.
+
+    TPU-first replacement for vmapped ``jnp.searchsorted``: the bin counts
+    here are tiny (n_coarse+1 <= 65), so a dense (rays, Q, B) compare +
+    sum-reduce is pure VPU work, where searchsorted lowers to a serial
+    while-loop per ray (this runtime executes dynamic indexing at
+    ~14 ns/element, docs/DESIGN.md).  Identical results: count of
+    ref <= q == right-bisection index."""
+    return jnp.sum(
+        (sorted_ref[..., None, :] <= queries[..., :, None]),
+        axis=-1).astype(jnp.int32)
+
+
 def _sample_pdf(t_edges, weights, n: int, rng, train: bool):
     """Continuous inverse-CDF sampling of n points from the piecewise-
     constant pdf over intervals (NeRF sample_pdf; linear interp in-bin)."""
@@ -249,10 +264,7 @@ def _sample_pdf(t_edges, weights, n: int, rng, train: bool):
         u = jnp.broadcast_to(
             jnp.linspace(1e-4, 1.0 - 1e-4, n), (n_rays, n)
         )
-    idx = jnp.clip(
-        jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-        - 1, 0, n_bins - 1,
-    )
+    idx = jnp.clip(_searchsorted_right(cdf, u) - 1, 0, n_bins - 1)
     cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
     cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
     t_lo = jnp.take_along_axis(t_edges, idx, axis=-1)
@@ -268,16 +280,13 @@ def _outer_measure(t_ref, w_ref, t_query):
     cw = jnp.cumsum(w_ref, axis=-1)
     cw = jnp.concatenate([jnp.zeros_like(cw[..., :1]), cw], -1)
     n_bins = w_ref.shape[-1]
+    # left-bisect = count of ref < q; right-bisect = count of ref <= q
+    # (dense compare-count, see _searchsorted_right)
     idx_lo = jnp.clip(
-        jax.vmap(lambda t, q: jnp.searchsorted(t, q, side="right"))(
-            t_ref, t_query[..., :-1]
-        ) - 1, 0, n_bins,
-    )
+        _searchsorted_right(t_ref, t_query[..., :-1]) - 1, 0, n_bins)
     idx_hi = jnp.clip(
-        jax.vmap(lambda t, q: jnp.searchsorted(t, q, side="left"))(
-            t_ref, t_query[..., 1:]
-        ), 0, n_bins,
-    )
+        jnp.sum(t_ref[..., None, :] < t_query[..., 1:, None],
+                axis=-1).astype(jnp.int32), 0, n_bins)
     return (jnp.take_along_axis(cw, idx_hi, axis=-1)
             - jnp.take_along_axis(cw, jnp.minimum(idx_lo, idx_hi), axis=-1))
 

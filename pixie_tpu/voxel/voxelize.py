@@ -229,6 +229,72 @@ def lattice_nonnoise_mask_device(
     return keep[tuple(ijk.T)]
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _lattice_knn_stats(occ_bool, shell_kernels, shell_d, k: int):
+    """Device half of lattice_knn_mean_dist.
+
+    One grouped conv counts, for every voxel, its occupied neighbors per
+    integer-distance shell; the exact mean distance to the k nearest
+    neighbors then falls out of a cumulative walk over shells in
+    increasing-distance order (distances on a lattice are h*sqrt(s) for
+    integer s — no sort, no gather).  Returns (mean_grid, complete_grid):
+    ``complete`` is False where fewer than k neighbors live within the
+    shell radius (caller falls back to brute kNN for those rows)."""
+    occ = occ_bool.astype(jnp.float32)
+    # (1,1,D,H,W) conv (S,1,w,w,w) -> (1,S,D,H,W): per-shell neighbor counts
+    counts = jax.lax.conv_general_dilated(
+        occ[None, None], shell_kernels, window_strides=(1, 1, 1),
+        padding="SAME", precision=jax.lax.Precision.HIGHEST)[0]
+    counts = jnp.round(counts)  # exact integers (sums of 0/1)
+    csum = jnp.cumsum(counts, axis=0)
+    taken_before = csum - counts
+    m = jnp.clip(k - taken_before, 0.0, counts)  # shells consumed per voxel
+    acc = jnp.einsum("s,sxyz->xyz", shell_d, m,
+                     precision=jax.lax.Precision.HIGHEST)
+    complete = csum[-1] >= k
+    return acc / k, complete
+
+
+def lattice_knn_mean_dist(
+    ijk: np.ndarray, shape, voxel_size: float, k: int, r_max: int = 6
+) -> np.ndarray:
+    """Exact mean k-NN distance for points on a regular lattice.
+
+    open3d remove_statistical_outlier needs each point's mean distance to
+    its k nearest neighbors; on the voxel lattice those distances are
+    h*sqrt(s) for integer s, so per-shell neighbor COUNTS (one conv over
+    the occupancy grid) determine the k-NN mean exactly — no 87k x 87k
+    distance matrix, no top-k.  Points with < k neighbors within ``r_max``
+    cells (isolated outliers, typically a handful) fall back to the brute
+    device kNN, preserving exact semantics everywhere."""
+    n = len(ijk)
+    if n == 0:
+        return np.zeros(0, np.float32)
+    occ = np.zeros(shape, bool)
+    occ[tuple(ijk.T)] = True
+
+    g = np.arange(-r_max, r_max + 1)
+    s2 = (g[:, None, None] ** 2 + g[None, :, None] ** 2
+          + g[None, None, :] ** 2)
+    shells = np.unique(s2)
+    shells = shells[(shells > 0) & (shells <= r_max * r_max)]
+    kernels = np.stack([(s2 == s).astype(np.float32) for s in shells])
+    shell_d = (np.sqrt(shells.astype(np.float64)) * voxel_size).astype(
+        np.float32)
+
+    mean_grid, complete_grid = _lattice_knn_stats(
+        jnp.asarray(occ), jnp.asarray(kernels[:, None]),
+        jnp.asarray(shell_d), int(k))
+    mean_d = np.asarray(mean_grid)[tuple(ijk.T)]
+    complete = np.asarray(complete_grid)[tuple(ijk.T)]
+    if not complete.all():
+        # exact fallback for the sparse tail (same brute path as before)
+        pts = ijk.astype(np.float32) * voxel_size
+        sub = np.nonzero(~complete)[0]
+        mean_d[sub] = knn_mean_dist(pts[sub], pts, k=k, skip_self=True)
+    return mean_d.astype(np.float32)
+
+
 def create_occupancy_mask(
     voxel_grid: np.ndarray,
     alphas: np.ndarray,
@@ -258,8 +324,18 @@ def create_occupancy_mask(
 
     if run_outlier_filter and len(idx):
         t0 = time.perf_counter()
-        pts = coords[idx]
-        stat_keep = statistical_outlier_mask(pts, nb_neighbors, std_ratio)
+        if (os.environ.get("PIXIE_LATTICE_KNN", "1") == "1"
+                and len(idx) > nb_neighbors):
+            # exact k-NN means from per-shell lattice counts (one conv)
+            # instead of the 87k x 87k brute distance matrix — the r4
+            # funnel's largest ex-warm cost (7.6-10.2 s, r5a)
+            ijk0 = np.stack(np.unravel_index(idx, shape), axis=1)
+            mean_d = lattice_knn_mean_dist(
+                ijk0, shape, voxel_size, k=nb_neighbors)
+            stat_keep = mean_d < mean_d.mean() + std_ratio * mean_d.std()
+        else:
+            stat_keep = statistical_outlier_mask(
+                coords[idx], nb_neighbors, std_ratio)
         idx = idx[stat_keep]
         if timings is not None:
             timings["outlier_knn_s"] = time.perf_counter() - t0
@@ -318,7 +394,8 @@ def extract_feature_voxel_grid(
     "feature" (B,C)}`` and ``get_rgb(points) -> (B,3)``; arrays may be jax or
     numpy.  Returns the artifact path dict.
 
-    ``async_fetch`` (default off; env ``PIXIE_VOX_ASYNC_FETCH=1``): the
+    ``async_fetch`` (default ON since r5; ``PIXIE_VOX_ASYNC_FETCH=0`` to
+    disable): the
     feature-grid device->host fetch and its ``*_features.npy`` save run on a
     background thread, and the returned dict additionally carries
 

@@ -137,6 +137,28 @@ class TestProposalSampling:
         assert lo < 1e-6
         assert hi > 0.01
 
+    def test_dense_bisect_matches_numpy_searchsorted(self):
+        """The compare-count bisections (TPU replacement for the serial
+        searchsorted lowering) match numpy exactly, including ties."""
+        from pixie_tpu.recon.field import _searchsorted_right
+
+        rng = np.random.default_rng(3)
+        # quantized values guarantee exact ties between ref and queries
+        ref = np.sort(rng.integers(0, 8, (6, 11)).astype(np.float32) / 8.0,
+                      axis=-1)
+        q = rng.integers(0, 8, (6, 9)).astype(np.float32) / 8.0
+        want_r = np.stack([np.searchsorted(r, qq, side="right")
+                           for r, qq in zip(ref, q)])
+        got_r = np.asarray(_searchsorted_right(jnp.asarray(ref),
+                                               jnp.asarray(q)))
+        np.testing.assert_array_equal(got_r, want_r)
+        want_l = np.stack([np.searchsorted(r, qq, side="left")
+                           for r, qq in zip(ref, q)])
+        got_l = np.asarray(jnp.sum(
+            jnp.asarray(ref)[..., None, :] < jnp.asarray(q)[..., :, None],
+            axis=-1))
+        np.testing.assert_array_equal(got_l, want_l)
+
     def test_sample_pdf_concentrates(self):
         from pixie_tpu.recon.field import _sample_pdf
 

@@ -119,6 +119,26 @@ class TestVoxelizer:
             paths["wait"]()
         assert not Path(paths["features"]).exists()
 
+    @pytest.mark.parametrize("seed,density", [(0, 0.03), (1, 0.15)])
+    def test_lattice_knn_matches_brute(self, seed, density):
+        """Shell-count lattice kNN means == brute-force kNN means (exact
+        open3d semantics), including the sparse-point brute fallback."""
+        from pixie_tpu.sim.material_field import knn_mean_dist
+        from pixie_tpu.voxel.voxelize import lattice_knn_mean_dist
+
+        rng = np.random.default_rng(seed)
+        shape = (40, 40, 40)
+        h = 1.0 / 64
+        occ = rng.random(shape) < density
+        occ[1, 1, 1] = True   # isolated point -> exercises the fallback
+        occ[2:5, 1, 1] = False
+        ijk = np.argwhere(occ)
+        pts = ijk.astype(np.float32) * h
+        k = 10
+        brute = knn_mean_dist(pts, pts, k=k, skip_self=True)
+        lat = lattice_knn_mean_dist(ijk, shape, h, k=k, r_max=4)
+        np.testing.assert_allclose(lat, brute, rtol=2e-6, atol=2e-7)
+
     def test_knn_mean_dist_matches_knn(self):
         from pixie_tpu.sim.material_field import knn, knn_mean_dist
 
