@@ -97,8 +97,13 @@ class FeatureField(nn.Module):
     def __call__(self, positions):
         if self.encoding == "mxu":
             enc = MXUHashEncoding(
+                # lo/hi split is a pure table-layout bijection (idx =
+                # hi*LO + lo; same table size, same hash, same function
+                # space).  256/16 keeps the dot N = HI*F = 128 MXU-lane
+                # aligned while halving the (B, HI*F) intermediate the
+                # encode's HBM cost is dominated by (r5b profile).
                 MXUHashConfig(n_levels=12, features_per_level=8,
-                              lo=128, hi=32, base_resolution=16,
+                              lo=256, hi=16, base_resolution=16,
                               max_resolution=128),
                 name="grid",
             )(positions)
@@ -330,6 +335,13 @@ def render_rays_prop(
     t_f = _sample_pdf(
         t_edges, w_p, cfg.n_fine, jax.random.fold_in(rng, 1), train
     )
+    # sampling is NOT differentiated (mip-NeRF 360 / nerfacto semantics:
+    # the proposal trains only through the interlevel loss; gradients do
+    # not flow main field -> sample positions -> proposal).  Also a large
+    # TPU win: detached positions mean the hash-encode backward needs no
+    # d(trilinear-weight) chain — only the table-gradient transpose dots
+    # (r5b profile: bwd+adam was 129 ms of the 252 ms step).
+    t_f = jax.lax.stop_gradient(t_f)
     # final intervals: midpoints between samples, closed by near/far
     t_f_edges = jnp.concatenate(
         [

@@ -123,8 +123,15 @@ def encode_points(pts: jnp.ndarray, table: jnp.ndarray, cfg: MXUHashConfig):
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).reshape(b, cfg.hi, cfg.features_per_level)
-            oh_hi = (iota_hi == hi[:, None]).astype(jnp.float32)
-            acc = acc + jnp.einsum("bh,bhf->bf", oh_hi, m)
+            # select stage in the dot dtype: oh_hi is exactly 0/1 in
+            # bf16 and the selected feature feeds bf16 MLP dots anyway,
+            # so bf16 here halves the (B, HI, F) intermediate's HBM
+            # traffic (the encode is HBM-bound, r5b profile) at no
+            # effective precision cost; f32-accumulated.
+            oh_hi = (iota_hi == hi[:, None]).astype(dt)
+            acc = acc + jnp.einsum(
+                "bh,bhf->bf", oh_hi, m.astype(dt),
+                preferred_element_type=jnp.float32)
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
 

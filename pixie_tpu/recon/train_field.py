@@ -180,7 +180,19 @@ def make_ray_fn(dataset, feature_maps=None):
             hf, wf = feature_maps.shape[1], feature_maps.shape[2]
             fy_i = jnp.clip((py * hf) // h, 0, hf - 1)
             fx_i = jnp.clip((px * wf) // w, 0, wf - 1)
-            feat_gt = feature_maps[img_idx, fy_i, fx_i]
+            # one-hot MXU row-select instead of a dynamic gather: the
+            # (n, 768) gather serializes on this runtime (~14 ns/elem ->
+            # ~40 ms of the 252 ms train step, r5b profile); the patch
+            # table is tiny (n_img*hf*wf ~ 12k rows), so a dense
+            # (n, 12k) @ (12k, 768) HIGHEST-precision dot returns the
+            # same rows in ~1/10 the time.
+            flat = (img_idx * hf + fy_i) * wf + fx_i
+            fm2 = feature_maps.reshape(-1, feature_maps.shape[-1])
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (n, fm2.shape[0]), 1)
+                  == flat[:, None]).astype(feature_maps.dtype)
+            feat_gt = jax.lax.dot_general(
+                oh, fm2, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
             return origins, dirs, rgb, feat_gt
         return origins, dirs, rgb, None
 

@@ -137,6 +137,79 @@ class TestProposalSampling:
         assert lo < 1e-6
         assert hi > 0.01
 
+    def test_sampling_is_detached(self):
+        """mip-NeRF 360 semantics: the proposal field gets gradient ONLY
+        through the interlevel loss — an rgb-only loss must produce
+        exactly zero proposal-parameter gradient (sampled positions are
+        stop_gradient'ed)."""
+        from pixie_tpu.recon.field import render_rays_prop
+
+        napply, papply, pn, pp = self._setup()
+        origins = jnp.zeros((8, 3)).at[:, 2].set(2.0)
+        dirs = jnp.zeros((8, 3)).at[:, 2].set(-1.0)
+        cfg = RenderConfig(n_coarse=16, n_fine=8)
+
+        def rgb_loss(pp_):
+            out = render_rays_prop(papply, napply, None, pp_, pn, None,
+                                   origins, dirs, jax.random.PRNGKey(1),
+                                   cfg, train=True, with_features=False)
+            return jnp.mean(out["rgb"] ** 2)
+
+        g = jax.grad(rgb_loss)(pp)
+        assert all(float(jnp.abs(x).max()) == 0.0
+                   for x in jax.tree.leaves(g)), \
+            "rgb loss leaked gradient into the proposal field"
+
+        # the interlevel loss path must still carry gradient: force an
+        # under-covering proposal (all fine mass in one narrow interval)
+        from pixie_tpu.recon.field import _weights_from_sigma, proposal_loss
+
+        t_edges = jnp.broadcast_to(
+            jnp.linspace(cfg.near, cfg.far, cfg.n_coarse + 1),
+            (8, cfg.n_coarse + 1))
+        mids = 0.5 * (t_edges[..., 1:] + t_edges[..., :-1])
+        pts_p = origins[:, None, :] + mids[..., None] * dirs[:, None, :]
+        t_fine = jnp.broadcast_to(
+            jnp.array([1.0, 1.001, 1.002]), (8, 3))
+        w_fine = jnp.broadcast_to(jnp.array([0.5, 0.5]), (8, 2))
+
+        def il_loss(pp_):
+            sigma_p = papply(pp_, pts_p * 0.5 + 0.5)[..., 0]
+            w_p = _weights_from_sigma(sigma_p, t_edges)
+            return proposal_loss(t_edges, w_p, t_fine, w_fine)
+
+        g2 = jax.grad(il_loss)(pp)
+        assert any(float(jnp.abs(x).max()) > 0.0
+                   for x in jax.tree.leaves(g2)), \
+            "interlevel loss must still train the proposal field"
+
+    def test_onehot_feature_targets_match_gather(self):
+        """make_ray_fn's one-hot MXU row-select returns bit-identical
+        feature targets to the direct (n,768) gather it replaced."""
+        from pixie_tpu.recon.train_field import make_ray_fn
+
+        rng = np.random.default_rng(5)
+        n_img, h, w, hf, wf, c = 3, 32, 32, 4, 4, 24
+        ds = {
+            "images": rng.random((n_img, h, w, 3)).astype(np.float32),
+            "c2w": np.broadcast_to(np.eye(4, dtype=np.float32),
+                                   (n_img, 4, 4)).copy(),
+            "intrinsics": (20.0, 20.0, 16.0, 16.0),
+        }
+        fm = rng.standard_normal((n_img, hf, wf, c)).astype(np.float32)
+        sample = make_ray_fn(ds, fm)
+        key = jax.random.PRNGKey(7)
+        o, d, rgb, feat = sample(key, 64)
+        # reference: recompute the indices and gather directly
+        k1, k2, k3 = jax.random.split(key, 3)
+        img_idx = np.asarray(jax.random.randint(k1, (64,), 0, n_img))
+        px = np.asarray(jax.random.randint(k2, (64,), 0, w))
+        py = np.asarray(jax.random.randint(k3, (64,), 0, h))
+        fy_i = np.clip((py * hf) // h, 0, hf - 1)
+        fx_i = np.clip((px * wf) // w, 0, wf - 1)
+        np.testing.assert_array_equal(np.asarray(feat),
+                                      fm[img_idx, fy_i, fx_i])
+
     def test_dense_bisect_matches_numpy_searchsorted(self):
         """The compare-count bisections (TPU replacement for the serial
         searchsorted lowering) match numpy exactly, including ties."""
