@@ -15,6 +15,7 @@ Objaverse assets, f3rm_config.py / pipeline.py:84-133).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import jax
@@ -96,14 +97,17 @@ class FeatureField(nn.Module):
     @nn.compact
     def __call__(self, positions):
         if self.encoding == "mxu":
+            # lo/hi split is a pure table-layout bijection (idx =
+            # hi*LO + lo; same table size, same hash, same function
+            # space).  256/16 keeps the dot N = HI*F = 128 MXU-lane
+            # aligned while halving the (B, HI*F) intermediate the
+            # encode's HBM cost is dominated by (r5b profile).  Env gate
+            # for on-TPU A/B attribution (bench_recon_train.py).
+            lo, hi = (int(s) for s in os.environ.get(
+                "PIXIE_FEAT_LOHI", "256,16").split(","))
             enc = MXUHashEncoding(
-                # lo/hi split is a pure table-layout bijection (idx =
-                # hi*LO + lo; same table size, same hash, same function
-                # space).  256/16 keeps the dot N = HI*F = 128 MXU-lane
-                # aligned while halving the (B, HI*F) intermediate the
-                # encode's HBM cost is dominated by (r5b profile).
                 MXUHashConfig(n_levels=12, features_per_level=8,
-                              lo=256, hi=16, base_resolution=16,
+                              lo=lo, hi=hi, base_resolution=16,
                               max_resolution=128),
                 name="grid",
             )(positions)
@@ -337,11 +341,10 @@ def render_rays_prop(
     )
     # sampling is NOT differentiated (mip-NeRF 360 / nerfacto semantics:
     # the proposal trains only through the interlevel loss; gradients do
-    # not flow main field -> sample positions -> proposal).  Also a large
-    # TPU win: detached positions mean the hash-encode backward needs no
-    # d(trilinear-weight) chain — only the table-gradient transpose dots
-    # (r5b profile: bwd+adam was 129 ms of the 252 ms step).
-    t_f = jax.lax.stop_gradient(t_f)
+    # not flow main field -> sample positions -> proposal).  Env gate is
+    # for on-TPU step-time A/B attribution (scripts/bench_recon_train.py).
+    if os.environ.get("PIXIE_DETACH_SAMPLES", "1") == "1":
+        t_f = jax.lax.stop_gradient(t_f)
     # final intervals: midpoints between samples, closed by near/far
     t_f_edges = jnp.concatenate(
         [

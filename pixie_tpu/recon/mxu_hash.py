@@ -27,6 +27,7 @@ tcnn does; finer levels use the NGP xor-prime hash mod T.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,8 @@ def encode_points(pts: jnp.ndarray, table: jnp.ndarray, cfg: MXUHashConfig):
     """(B, 3) in [0,1] x (L, LO, HI, F) table -> (B, L*F) features."""
     b = pts.shape[0]
     dt = jnp.bfloat16 if cfg.bf16_dots else jnp.float32
+    _SELECT_BF16 = (cfg.bf16_dots
+                    and os.environ.get("PIXIE_SELECT_BF16", "1") == "1")
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.lo), 1)
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.hi), 1)
 
@@ -127,11 +130,16 @@ def encode_points(pts: jnp.ndarray, table: jnp.ndarray, cfg: MXUHashConfig):
             # bf16 and the selected feature feeds bf16 MLP dots anyway,
             # so bf16 here halves the (B, HI, F) intermediate's HBM
             # traffic (the encode is HBM-bound, r5b profile) at no
-            # effective precision cost; f32-accumulated.
-            oh_hi = (iota_hi == hi[:, None]).astype(dt)
-            acc = acc + jnp.einsum(
-                "bh,bhf->bf", oh_hi, m.astype(dt),
-                preferred_element_type=jnp.float32)
+            # effective precision cost; f32-accumulated.  Env gate for
+            # on-TPU step-time A/B attribution (bench_recon_train.py).
+            if _SELECT_BF16:
+                oh_hi = (iota_hi == hi[:, None]).astype(dt)
+                acc = acc + jnp.einsum(
+                    "bh,bhf->bf", oh_hi, m.astype(dt),
+                    preferred_element_type=jnp.float32)
+            else:
+                oh_hi = (iota_hi == hi[:, None]).astype(jnp.float32)
+                acc = acc + jnp.einsum("bh,bhf->bf", oh_hi, m)
         outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
 

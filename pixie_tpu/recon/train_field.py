@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import logging
+import os
 import time
 from pathlib import Path
 
@@ -180,19 +181,24 @@ def make_ray_fn(dataset, feature_maps=None):
             hf, wf = feature_maps.shape[1], feature_maps.shape[2]
             fy_i = jnp.clip((py * hf) // h, 0, hf - 1)
             fx_i = jnp.clip((px * wf) // w, 0, wf - 1)
-            # one-hot MXU row-select instead of a dynamic gather: the
-            # (n, 768) gather serializes on this runtime (~14 ns/elem ->
-            # ~40 ms of the 252 ms train step, r5b profile); the patch
-            # table is tiny (n_img*hf*wf ~ 12k rows), so a dense
-            # (n, 12k) @ (12k, 768) HIGHEST-precision dot returns the
-            # same rows in ~1/10 the time.
+            # one-hot MXU row-select instead of a dynamic gather over the
+            # patch table (n_img*hf*wf ~ 12k rows): a dense (n, 12k) @
+            # (12k, 768) HIGHEST-precision dot returns bit-identical rows
+            # and, unlike the gather, compiles in seconds instead of
+            # 1248 s (r5b vs r5c profile; runtimes equal — stage A is
+            # dispatch-latency-bound either way).  Env gate for on-TPU
+            # A/B attribution (scripts/bench_recon_train.py).
             flat = (img_idx * hf + fy_i) * wf + fx_i
-            fm2 = feature_maps.reshape(-1, feature_maps.shape[-1])
-            oh = (jax.lax.broadcasted_iota(jnp.int32, (n, fm2.shape[0]), 1)
-                  == flat[:, None]).astype(feature_maps.dtype)
-            feat_gt = jax.lax.dot_general(
-                oh, fm2, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
+            if os.environ.get("PIXIE_FEAT_ONEHOT", "1") == "1":
+                fm2 = feature_maps.reshape(-1, feature_maps.shape[-1])
+                oh = (jax.lax.broadcasted_iota(
+                    jnp.int32, (n, fm2.shape[0]), 1)
+                    == flat[:, None]).astype(feature_maps.dtype)
+                feat_gt = jax.lax.dot_general(
+                    oh, fm2, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                feat_gt = feature_maps[img_idx, fy_i, fx_i]
             return origins, dirs, rgb, feat_gt
         return origins, dirs, rgb, None
 

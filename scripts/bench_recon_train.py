@@ -175,18 +175,19 @@ def profile_step(args):
 
     reps = args.reps
     res = {}
-    res["sample_ms"] = _timed(
-        lambda i: jit_sample(jax.random.PRNGKey(i)), float, reps,
-        "A data gather (rays+rgb+feat_gt)")
-    res["sampling_ms"] = _timed(
-        lambda i: jit_sampling(jax.random.PRNGKey(i)), float, reps,
-        "B proposal+pdf machinery")
-    res["field_fwd_ms"] = _timed(
-        lambda i: jit_field_fwd(jax.random.PRNGKey(i)), float, reps,
-        "C main-field fwd (nerf+feat)")
-    res["full_fwd_ms"] = _timed(
-        lambda i: jit_fwd(jax.random.PRNGKey(i)), float, reps,
-        "D full fwd loss")
+    if not args.only_step:
+        res["sample_ms"] = _timed(
+            lambda i: jit_sample(jax.random.PRNGKey(i)), float, reps,
+            "A data gather (rays+rgb+feat_gt)")
+        res["sampling_ms"] = _timed(
+            lambda i: jit_sampling(jax.random.PRNGKey(i)), float, reps,
+            "B proposal+pdf machinery")
+        res["field_fwd_ms"] = _timed(
+            lambda i: jit_field_fwd(jax.random.PRNGKey(i)), float, reps,
+            "C main-field fwd (nerf+feat)")
+        res["full_fwd_ms"] = _timed(
+            lambda i: jit_fwd(jax.random.PRNGKey(i)), float, reps,
+            "D full fwd loss")
 
     state = {"p": params, "o": opt_state}
 
@@ -196,10 +197,11 @@ def profile_step(args):
         return loss
 
     res["step_ms"] = _timed(step_i, float, reps, "E full train step")
-    res["bwd_overhead_ms"] = res["step_ms"] - res["full_fwd_ms"]
-    print(f"  bwd+adam overhead {res['bwd_overhead_ms']:.1f} ms; "
-          f"unattributed fwd {res['full_fwd_ms'] - res['sampling_ms'] - res['field_fwd_ms'] + res['sample_ms']:.1f} ms "
-          f"(A counted inside B/C/D)", flush=True)
+    if not args.only_step:
+        res["bwd_overhead_ms"] = res["step_ms"] - res["full_fwd_ms"]
+        print(f"  bwd+adam overhead {res['bwd_overhead_ms']:.1f} ms; "
+              f"unattributed fwd {res['full_fwd_ms'] - res['sampling_ms'] - res['field_fwd_ms'] + res['sample_ms']:.1f} ms "
+              f"(A counted inside B/C/D)", flush=True)
     return res
 
 
@@ -251,6 +253,9 @@ def gs_wallclock(iters: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile-step", action="store_true")
+    ap.add_argument("--only-step", action="store_true",
+                    help="profile only stage E (full train step) — for "
+                         "env-toggle A/B runs where A-D are irrelevant")
     ap.add_argument("--field-iters", type=int, default=0)
     ap.add_argument("--gs-iters", type=int, default=0)
     ap.add_argument("--reps", type=int, default=5)
@@ -261,7 +266,7 @@ def main():
     args = ap.parse_args()
 
     out = {}
-    if args.profile_step:
+    if args.profile_step or args.only_step:
         out.update(profile_step(args))
     if args.field_iters:
         out["field_train_s"] = field_wallclock(args.field_iters)
