@@ -99,12 +99,12 @@ class FeatureField(nn.Module):
         if self.encoding == "mxu":
             # lo/hi split is a pure table-layout bijection (idx =
             # hi*LO + lo; same table size, same hash, same function
-            # space).  256/16 keeps the dot N = HI*F = 128 MXU-lane
-            # aligned while halving the (B, HI*F) intermediate the
-            # encode's HBM cost is dominated by (r5b profile).  Env gate
-            # for on-TPU A/B attribution (bench_recon_train.py).
+            # space).  The 256/16 variant (halved (B, HI*F)
+            # intermediate) measured SLOWER on TPU — 313.1 vs 250.4 ms
+            # full step at the r5e A/B (docs/tpu_logs/r5e_queue.log) —
+            # so the default stays at the r5b-record 128/32 layout.
             lo, hi = (int(s) for s in os.environ.get(
-                "PIXIE_FEAT_LOHI", "256,16").split(","))
+                "PIXIE_FEAT_LOHI", "128,32").split(","))
             enc = MXUHashEncoding(
                 MXUHashConfig(n_levels=12, features_per_level=8,
                               lo=lo, hi=hi, base_resolution=16,
@@ -339,11 +339,14 @@ def render_rays_prop(
     t_f = _sample_pdf(
         t_edges, w_p, cfg.n_fine, jax.random.fold_in(rng, 1), train
     )
-    # sampling is NOT differentiated (mip-NeRF 360 / nerfacto semantics:
-    # the proposal trains only through the interlevel loss; gradients do
-    # not flow main field -> sample positions -> proposal).  Env gate is
-    # for on-TPU step-time A/B attribution (scripts/bench_recon_train.py).
-    if os.environ.get("PIXIE_DETACH_SAMPLES", "1") == "1":
+    # PIXIE_DETACH_SAMPLES=1 stops gradients at the fine sample
+    # positions (mip-NeRF 360 / nerfacto semantics: proposal trains only
+    # through the interlevel loss).  Counter-intuitively it measured
+    # SLOWER on TPU (+47 ms: 306.8 all-on vs 259.9 no-detach, r5e A/B,
+    # docs/tpu_logs/r5e_queue.log — the stop_gradient breaks an XLA
+    # bwd fusion), so the default keeps the r5b end-to-end-differentiated
+    # semantics; the gate remains for the nerfacto-parity choice.
+    if os.environ.get("PIXIE_DETACH_SAMPLES", "0") == "1":
         t_f = jax.lax.stop_gradient(t_f)
     # final intervals: midpoints between samples, closed by near/far
     t_f_edges = jnp.concatenate(

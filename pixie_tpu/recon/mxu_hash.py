@@ -94,8 +94,12 @@ def encode_points(pts: jnp.ndarray, table: jnp.ndarray, cfg: MXUHashConfig):
     """(B, 3) in [0,1] x (L, LO, HI, F) table -> (B, L*F) features."""
     b = pts.shape[0]
     dt = jnp.bfloat16 if cfg.bf16_dots else jnp.float32
+    # bf16 one-hot select stage: exact (one-hot weights are representable
+    # in bf16) but measured no-win-to-regression in the r5e A/B
+    # (docs/tpu_logs/r5e_queue.log; all-off 250.4 ms is the record), so
+    # default off.
     _SELECT_BF16 = (cfg.bf16_dots
-                    and os.environ.get("PIXIE_SELECT_BF16", "1") == "1")
+                    and os.environ.get("PIXIE_SELECT_BF16", "0") == "1")
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.lo), 1)
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (b, cfg.hi), 1)
 

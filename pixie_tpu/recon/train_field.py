@@ -185,11 +185,14 @@ def make_ray_fn(dataset, feature_maps=None):
             # patch table (n_img*hf*wf ~ 12k rows): a dense (n, 12k) @
             # (12k, 768) HIGHEST-precision dot returns bit-identical rows
             # and, unlike the gather, compiles in seconds instead of
-            # 1248 s (r5b vs r5c profile; runtimes equal — stage A is
-            # dispatch-latency-bound either way).  Env gate for on-TPU
-            # A/B attribution (scripts/bench_recon_train.py).
+            # 1248 s (r5b profile stage A).  Runtime measured ~neutral
+            # (r5e A/B: 306.8 all-on vs 304.2 no-onehot), but the
+            # fully-measured record config is all-off (250.4 ms,
+            # docs/tpu_logs/r5e_queue.log), so default off; set =1 on a
+            # cold compile cache to skip the gather's pathological
+            # compile.  Env gate for on-TPU A/B attribution.
             flat = (img_idx * hf + fy_i) * wf + fx_i
-            if os.environ.get("PIXIE_FEAT_ONEHOT", "1") == "1":
+            if os.environ.get("PIXIE_FEAT_ONEHOT", "0") == "1":
                 fm2 = feature_maps.reshape(-1, feature_maps.shape[-1])
                 oh = (jax.lax.broadcasted_iota(
                     jnp.int32, (n, fm2.shape[0]), 1)
@@ -342,8 +345,7 @@ def train_feature_field(
     feat_apply = (lambda p, pts: feat.apply(p, pts)) if with_features else None
     prop_apply = (lambda p, pts: prop.apply(p, pts)) if prop is not None else None
 
-    @jax.jit
-    def step(params, opt_state, rng):
+    def step_impl(params, opt_state, rng):
         kray, krender = jax.random.split(rng)
         origins, dirs, rgb_gt, feat_gt = sample_rays(kray, cfg.rays_per_batch)
 
@@ -379,13 +381,54 @@ def train_feature_field(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
+    step = jax.jit(step_impl)
+
+    # Device-resident K-step chunks: one lax.scan dispatch per K iterations
+    # instead of K host dispatches.  Over the axon tunnel each dispatch
+    # carries host-side enqueue latency (~40 ms floor, r5b profile stage A),
+    # so at 5000 iterations the per-step loop pays minutes of pure tunnel
+    # overhead the scan removes.  The lr schedule rides in opt_state
+    # (optax count), so chunking is semantics-preserving; rng is split
+    # identically to the per-step loop (parity test:
+    # tests/test_recon.py::test_scan_chunk_loop_matches_per_step_loop).
+    # Default 0 = per-step loop until the TPU wall-clock A/B
+    # (scripts/bench_recon_train.py --field-iters) picks a K.
+    scan_k = int(os.environ.get("PIXIE_FIELD_SCAN", "0"))
+
+    if scan_k > 1:
+        import functools  # noqa: PLC0415
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def run_chunk(params, opt_state, rng):
+            def body(carry, _):
+                params, opt_state, rng = carry
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss, _aux = step_impl(
+                    params, opt_state, sub)
+                return (params, opt_state, rng), loss
+
+            (params, opt_state, rng), losses = jax.lax.scan(
+                body, (params, opt_state, rng), length=scan_k)
+            return params, opt_state, rng, losses
+
     t0 = time.time()
-    for it in range(cfg.max_iterations):
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss, aux = step(params, opt_state, sub)
-        if it % log_every == 0:
-            logging.info("field iter %d loss %.5f (%.1fs)", it, float(loss),
-                         time.time() - t0)
+    it = 0
+    loss = jnp.float32(0.0)
+    while it < cfg.max_iterations:
+        if scan_k > 1 and it + scan_k <= cfg.max_iterations:
+            params, opt_state, rng, losses = run_chunk(params, opt_state, rng)
+            loss = losses[-1]
+            it += scan_k
+            if (it // scan_k) % max(log_every // scan_k, 1) == 0:
+                logging.info("field iter %d loss %.5f (%.1fs)", it,
+                             float(loss), time.time() - t0)
+        else:
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss, aux = step(params, opt_state, sub)
+            if it % log_every == 0:
+                logging.info("field iter %d loss %.5f (%.1fs)", it,
+                             float(loss), time.time() - t0)
+            it += 1
 
     save_field_checkpoint(output_dir, params, cfg)
 

@@ -316,6 +316,34 @@ class TestFieldTraining:
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_scan_chunk_loop_matches_per_step_loop(self, tmp_path, monkeypatch):
+        """PIXIE_FIELD_SCAN=K (one lax.scan dispatch per K steps) must be a
+        pure scheduling change: identical rng stream, identical lr schedule
+        (optax count rides in opt_state), so final params match the
+        per-step loop to float tolerance."""
+        from pixie_tpu.recon.field import RenderConfig
+        from pixie_tpu.recon.train_field import (
+            FieldTrainConfig,
+            train_feature_field,
+        )
+
+        data = make_synthetic_blender_dataset(tmp_path / "data")
+        cfg = FieldTrainConfig(
+            max_iterations=10, rays_per_batch=128,
+            encoding="hashgrid",
+            render=RenderConfig(n_coarse=8, n_fine=4),
+            eval_views=0,
+        )
+        outs = {}
+        for k in ("0", "4"):  # 4 does not divide 10: exercises the remainder
+            monkeypatch.setenv("PIXIE_FIELD_SCAN", k)
+            params = train_feature_field(
+                data, tmp_path / f"out{k}", cfg=cfg, log_every=100
+            )
+            outs[k] = [np.asarray(p) for p in jax.tree.leaves(params)]
+        for a, b in zip(outs["0"], outs["4"]):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
     def test_field_adapter_query_contract(self, tmp_path):
         from pixie_tpu.recon.field_adapter import FieldAdapter
 
