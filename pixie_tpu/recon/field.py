@@ -196,7 +196,8 @@ def render_rays(
         jnp.sum(cdf[..., None, :] < u2[..., :, None], axis=-1)
         .astype(jnp.int32), 0, cfg.n_coarse - 1
     )
-    t_f = jnp.take_along_axis(t_c, idx, axis=-1)
+    t_f = (_gather_last(t_c, idx) if _pdf_dense()
+           else jnp.take_along_axis(t_c, idx, axis=-1))
 
     t_all = jnp.sort(jnp.concatenate([t_c, t_f], axis=-1), axis=-1)
     pts = origins[:, None, :] + t_all[..., None] * directions[:, None, :]
@@ -258,29 +259,68 @@ def _searchsorted_right(sorted_ref, queries):
         axis=-1).astype(jnp.int32)
 
 
+def _gather_last(ref, idx):
+    """Gather ``ref[..., idx]`` along a tiny last axis without a gather.
+
+    ``take_along_axis`` lowers to a serial per-element gather on this TPU
+    (~14 ns/elem, docs/DESIGN.md) and its transpose is a scatter-add; with
+    the bin axis tiny (<= 65) a dense one-hot compare + multiply-reduce is
+    pure fused VPU work in both directions.  Bit-identical to the gather
+    (the one-hot select returns the exact stored row value)."""
+    b = ref.shape[-1]
+    onehot = (idx[..., None] ==
+              jax.lax.broadcasted_iota(jnp.int32, idx.shape + (b,),
+                                       idx.ndim)).astype(ref.dtype)
+    return jnp.sum(onehot * ref[..., None, :], axis=-1)
+
+
+def _pdf_dense() -> bool:
+    """PIXIE_PDF_DENSE=1: gather-free inverse-CDF interpolation (r5g lever)."""
+    return os.environ.get("PIXIE_PDF_DENSE", "0") == "1"
+
+
 def _sample_pdf(t_edges, weights, n: int, rng, train: bool):
     """Continuous inverse-CDF sampling of n points from the piecewise-
-    constant pdf over intervals (NeRF sample_pdf; linear interp in-bin)."""
+    constant pdf over intervals (NeRF sample_pdf; linear interp in-bin).
+
+    PIXIE_PDF_STRAT=1 draws stratified u (one uniform per 1/n slot — the
+    nerfstudio PDF-sampler default, ray_samplers.py stratified u) which is
+    sorted by construction, so the monotone CDF inverse needs no final
+    sort (the sort's backward pass is a serial gather-by-permutation on
+    this TPU)."""
     n_rays, n_bins = weights.shape
     w = weights + 1e-5
     cdf = jnp.cumsum(w, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
     cdf = cdf / cdf[..., -1:]
 
-    if train:
+    stratified = os.environ.get("PIXIE_PDF_STRAT", "0") == "1"
+    if train and stratified:
+        u = (jnp.arange(n, dtype=jnp.float32)[None]
+             + jax.random.uniform(rng, (n_rays, n))) / n
+    elif train:
         u = jax.random.uniform(rng, (n_rays, n))
     else:
         u = jnp.broadcast_to(
             jnp.linspace(1e-4, 1.0 - 1e-4, n), (n_rays, n)
         )
     idx = jnp.clip(_searchsorted_right(cdf, u) - 1, 0, n_bins - 1)
-    cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
-    t_lo = jnp.take_along_axis(t_edges, idx, axis=-1)
-    t_hi = jnp.take_along_axis(t_edges, idx + 1, axis=-1)
+    if _pdf_dense():
+        cdf_lo = _gather_last(cdf, idx)
+        cdf_hi = _gather_last(cdf, idx + 1)
+        t_lo = _gather_last(t_edges, idx)
+        t_hi = _gather_last(t_edges, idx + 1)
+    else:
+        cdf_lo = jnp.take_along_axis(cdf, idx, axis=-1)
+        cdf_hi = jnp.take_along_axis(cdf, idx + 1, axis=-1)
+        t_lo = jnp.take_along_axis(t_edges, idx, axis=-1)
+        t_hi = jnp.take_along_axis(t_edges, idx + 1, axis=-1)
     denom = jnp.where(cdf_hi - cdf_lo < 1e-8, 1.0, cdf_hi - cdf_lo)
     frac = (u - cdf_lo) / denom
-    return jnp.sort(t_lo + frac * (t_hi - t_lo), axis=-1)
+    t = t_lo + frac * (t_hi - t_lo)
+    if (train and stratified) or not train:
+        return t  # sorted by construction: monotone inverse of sorted u
+    return jnp.sort(t, axis=-1)
 
 
 def _outer_measure(t_ref, w_ref, t_query):
@@ -296,6 +336,9 @@ def _outer_measure(t_ref, w_ref, t_query):
     idx_hi = jnp.clip(
         jnp.sum(t_ref[..., None, :] < t_query[..., 1:, None],
                 axis=-1).astype(jnp.int32), 0, n_bins)
+    if _pdf_dense():
+        return (_gather_last(cw, idx_hi)
+                - _gather_last(cw, jnp.minimum(idx_lo, idx_hi)))
     return (jnp.take_along_axis(cw, idx_hi, axis=-1)
             - jnp.take_along_axis(cw, jnp.minimum(idx_lo, idx_hi), axis=-1))
 

@@ -391,9 +391,12 @@ def train_feature_field(
     # (optax count), so chunking is semantics-preserving; rng is split
     # identically to the per-step loop (parity test:
     # tests/test_recon.py::test_scan_chunk_loop_matches_per_step_loop).
-    # Default 0 = per-step loop until the TPU wall-clock A/B
-    # (scripts/bench_recon_train.py --field-iters) picks a K.
-    scan_k = int(os.environ.get("PIXIE_FIELD_SCAN", "0"))
+    # Default: K=50 for production-length trainings (r5f TPU A/B at 5000
+    # iters: 2066.3 s per-step vs 1844.1 s scan-50 end-to-end incl. compile,
+    # docs/tpu_logs/r5f_queue.log — an 11% wall-clock win); short runs
+    # (tests, probes) stay per-step so they don't pay the chunk compile.
+    default_k = "50" if cfg.max_iterations >= 1000 else "0"
+    scan_k = int(os.environ.get("PIXIE_FIELD_SCAN", default_k))
 
     if scan_k > 1:
         import functools  # noqa: PLC0415

@@ -137,11 +137,14 @@ class TestProposalSampling:
         assert lo < 1e-6
         assert hi > 0.01
 
-    def test_sampling_is_detached(self):
-        """mip-NeRF 360 semantics: the proposal field gets gradient ONLY
-        through the interlevel loss — an rgb-only loss must produce
-        exactly zero proposal-parameter gradient (sampled positions are
-        stop_gradient'ed)."""
+    def test_sampling_is_detached(self, monkeypatch):
+        """mip-NeRF 360 semantics behind PIXIE_DETACH_SAMPLES=1: the
+        proposal field gets gradient ONLY through the interlevel loss —
+        an rgb-only loss must produce exactly zero proposal-parameter
+        gradient.  The DEFAULT keeps sample positions differentiable
+        (r5e TPU A/B: the stop_gradient broke an XLA bwd fusion, +47 ms,
+        docs/tpu_logs/r5e_queue.log), so the default path must leak —
+        both behaviors are pinned here."""
         from pixie_tpu.recon.field import render_rays_prop
 
         napply, papply, pn, pp = self._setup()
@@ -155,10 +158,17 @@ class TestProposalSampling:
                                    cfg, train=True, with_features=False)
             return jnp.mean(out["rgb"] ** 2)
 
+        monkeypatch.setenv("PIXIE_DETACH_SAMPLES", "1")
         g = jax.grad(rgb_loss)(pp)
         assert all(float(jnp.abs(x).max()) == 0.0
                    for x in jax.tree.leaves(g)), \
             "rgb loss leaked gradient into the proposal field"
+
+        monkeypatch.setenv("PIXIE_DETACH_SAMPLES", "0")
+        g_default = jax.grad(rgb_loss)(pp)
+        assert any(float(jnp.abs(x).max()) > 0.0
+                   for x in jax.tree.leaves(g_default)), \
+            "default (no-detach) path should differentiate through samples"
 
         # the interlevel loss path must still carry gradient: force an
         # under-covering proposal (all fine mass in one narrow interval)
@@ -242,6 +252,66 @@ class TestProposalSampling:
         # nearly all samples inside the massive bin (eps spill allowed)
         assert ((tn >= 0.49) & (tn <= 0.58)).mean() > 0.9
         assert (np.diff(tn, axis=-1) >= 0).all()
+
+    def test_pdf_dense_matches_gather(self, monkeypatch):
+        """PIXIE_PDF_DENSE=1 (one-hot contraction gathers, r5g lever) is
+        bit-identical to the take_along_axis path — values AND gradients —
+        through _sample_pdf, _outer_measure, and the full prop render."""
+        from pixie_tpu.recon.field import (_outer_measure, _sample_pdf,
+                                           render_rays_prop)
+
+        t_edges = jnp.broadcast_to(jnp.linspace(0.0, 2.0, 17), (6, 17))
+        w = jax.random.uniform(jax.random.PRNGKey(3), (6, 16))
+        rng = jax.random.PRNGKey(9)
+
+        def run_all():
+            t = _sample_pdf(t_edges, w, 8, rng, train=True)
+            tq = jnp.sort(
+                jax.random.uniform(jax.random.PRNGKey(4), (6, 9)) * 2.0,
+                axis=-1)
+            om = _outer_measure(t_edges, w, tq)
+            return t, om
+
+        monkeypatch.setenv("PIXIE_PDF_DENSE", "0")
+        t0, om0 = run_all()
+        monkeypatch.setenv("PIXIE_PDF_DENSE", "1")
+        t1, om1 = run_all()
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(om0), np.asarray(om1))
+
+        napply, papply, pn, pp = self._setup()
+        origins = jnp.zeros((8, 3)).at[:, 2].set(2.0)
+        dirs = jnp.zeros((8, 3)).at[:, 2].set(-1.0)
+        cfg = RenderConfig(n_coarse=16, n_fine=8)
+
+        def loss(pn_):
+            out = render_rays_prop(papply, napply, None, pp, pn_, None,
+                                   origins, dirs, jax.random.PRNGKey(1),
+                                   cfg, train=True, with_features=False)
+            return jnp.mean(out["rgb"] ** 2) + out["prop_loss"]
+
+        monkeypatch.setenv("PIXIE_PDF_DENSE", "0")
+        l0, g0 = jax.value_and_grad(loss)(pn)
+        monkeypatch.setenv("PIXIE_PDF_DENSE", "1")
+        l1, g1 = jax.value_and_grad(loss)(pn)
+        assert float(l0) == float(l1)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pdf_stratified_sorted_and_concentrates(self, monkeypatch):
+        """PIXIE_PDF_STRAT=1 draws one uniform per 1/n slot: output is
+        sorted by construction (no jnp.sort), lands in the massive bin,
+        and differs per ray (still random)."""
+        from pixie_tpu.recon.field import _sample_pdf
+
+        monkeypatch.setenv("PIXIE_PDF_STRAT", "1")
+        t_edges = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 17), (4, 17))
+        w = jnp.zeros((4, 16)).at[:, 8].set(1.0)
+        t = _sample_pdf(t_edges, w, 8, jax.random.PRNGKey(0), train=True)
+        tn = np.asarray(t)
+        assert (np.diff(tn, axis=-1) >= 0).all()
+        assert ((tn >= 0.49) & (tn <= 0.58)).mean() > 0.9
+        assert not np.allclose(tn[0], tn[1])
 
 
 def make_synthetic_blender_dataset(root: Path, n_views=6, res=24):
