@@ -275,8 +275,15 @@ def _gather_last(ref, idx):
 
 
 def _pdf_dense() -> bool:
-    """PIXIE_PDF_DENSE=1: gather-free inverse-CDF interpolation (r5g lever)."""
-    return os.environ.get("PIXIE_PDF_DENSE", "0") == "1"
+    """PIXIE_PDF_DENSE: gather-free inverse-CDF interpolation (r5g lever).
+
+    Default ON: measured 240.6 ms vs 249.9 ms field step @4096 rays on
+    v5e (docs/tpu_logs/r5g_queue.log) — the one-hot contraction replaces
+    6 take_along_axis sites whose fwd gathers + bwd scatter-adds are
+    serial on this TPU.  PIXIE_PDF_STRAT (dropping the jnp.sort via
+    stratified u) measured NEGATIVE on top of it (250.1 ms) and
+    pathological alone (>38 min compile) — dead end, see DESIGN.md."""
+    return os.environ.get("PIXIE_PDF_DENSE", "1") == "1"
 
 
 def _sample_pdf(t_edges, weights, n: int, rng, train: bool):

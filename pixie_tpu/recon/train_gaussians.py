@@ -19,6 +19,7 @@ import dataclasses
 import functools
 import json
 import logging
+import os
 import time
 from pathlib import Path
 
@@ -68,14 +69,17 @@ def _gauss_band(n: int, window: int, sigma: float):
     on v5e (161 ms/step across fwd+bwd — the single largest cost of 3DGS
     training, docs/DESIGN.md); as banded matmuls the whole SSIM runs on
     the MXU in ~1 ms.  Built in numpy at trace time: a traced gather from
-    the 11-tap table would serialize (~17 ns/elem)."""
+    the 11-tap table would serialize (~17 ns/elem).  Returns NUMPY (not
+    jnp): the lru_cache is shared across jit traces, and a jnp constant
+    materialized inside one trace is a tracer that leaks into the next
+    (per-step `step` trace -> scan-chunk `run_chunk` trace)."""
     half = window // 2
     x = np.arange(window, dtype=np.float64) - half
     g = np.exp(-(x**2) / (2 * sigma**2))
     g = g / g.sum()
     d = np.arange(n)[None, :] - np.arange(n)[:, None] + half
     a = np.where((d >= 0) & (d < window), g[np.clip(d, 0, window - 1)], 0.0)
-    return jnp.asarray(a.astype(np.float32))
+    return a.astype(np.float32)
 
 
 def ssim(img1, img2, window: int = 11, sigma: float = 1.5):
@@ -269,21 +273,100 @@ def train_gaussian_splatting(
         screen_grad = jnp.linalg.norm(ograds, axis=-1)
         return params, opt_state, loss, l1, screen_grad
 
+    # Scan-chunked loop (PIXIE_GS_SCAN=K, r5g lever): the per-step loop
+    # below blocks on a (capacity,) screen-grad stats fetch EVERY iteration
+    # (~0.5 MB device->host over the tunnel) and re-uploads the view image;
+    # measured ~60 ms/iter of overhead at 10k iters (104.3 ms median device
+    # step vs ~168 ms/iter wall, docs/tpu_logs/r5f_queue.log).  The chunked
+    # path keeps views device-resident, rides the densify stats in the scan
+    # carry, covers the stretch to the next densify/opacity-reset/log
+    # boundary in ONE dispatch, and fetches stats once per densify event.
+    # View-index sequence and accumulation math are identical to the
+    # per-step loop (parity: tests/test_gaussians.py scan-chunk test).
+    # Default 0 (per-step) until the r5h TPU wall-clock A/B picks a K.
+    scan_k = int(os.environ.get("PIXIE_GS_SCAN", "0"))
+    use_scan = scan_k > 1
+
+    if use_scan:
+        viewmats_dev = jnp.asarray(viewmats)
+        images_dev = jnp.asarray(images)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def run_chunk(params, opt_state, ga, dn, vis):
+            def body(carry, vi):
+                params, opt_state, ga, dn = carry
+                viewmat = viewmats_dev[vi]
+                gt = images_dev[vi]
+                offset = jnp.zeros((params["xyz"].shape[0], 2))
+
+                def loss_fn(params, offset):
+                    img, _ = render(params, viewmat, offset)
+                    l1 = jnp.abs(img - gt).mean()
+                    loss = (1.0 - cfg.lambda_dssim) * l1 + cfg.lambda_dssim * (
+                        1.0 - ssim(img, gt)
+                    )
+                    return loss, l1
+
+                (loss, l1), (grads, ograds) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(params, offset)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                sg = jnp.linalg.norm(ograds, axis=-1)
+                seen = sg > 0
+                ga = ga + jnp.where(seen, sg, 0.0)
+                dn = dn + seen.astype(jnp.float32)
+                return (params, opt_state, ga, dn), (loss, l1)
+
+            (params, opt_state, ga, dn), (losses, l1s) = jax.lax.scan(
+                body, (params, opt_state, ga, dn), vis
+            )
+            return params, opt_state, ga, dn, losses[-1], l1s[-1]
+
     grad_accum = np.zeros(capacity, np.float32)
     denom = np.zeros(capacity, np.float32)
+    ga = jnp.zeros(capacity, jnp.float32)
+    dn = jnp.zeros(capacity, jnp.float32)
     t0 = time.time()
-    for it in range(1, cfg.iterations + 1):
-        vi = int(rng.integers(len(viewmats)))
-        params, opt_state, loss, l1, screen_grad = step(
-            params, opt_state, jnp.asarray(viewmats[vi]), jnp.asarray(images[vi])
-        )
-        sg = np.asarray(screen_grad)
-        seen = sg > 0
-        grad_accum[seen] += sg[seen]
-        denom[seen] += 1
+    it = 1
+    while it <= cfg.iterations:
+        if use_scan:
+            # stretch to the next host-side event boundary (events fire when
+            # `it % interval == 0` after the step, so the chunk ends on the
+            # smallest multiple of any interval >= it)
+            nxt = min(
+                -(-it // cfg.densify_interval) * cfg.densify_interval,
+                -(-it // cfg.opacity_reset_interval)
+                * cfg.opacity_reset_interval,
+                -(-it // log_every) * log_every,
+                cfg.iterations,
+            )
+            length = min(nxt - it + 1, scan_k)
+            # scalar draws keep the exact per-step rng sequence
+            vis = np.array(
+                [rng.integers(len(viewmats)) for _ in range(length)],
+                np.int32,
+            )
+            params, opt_state, ga, dn, loss, l1 = run_chunk(
+                params, opt_state, ga, dn, jnp.asarray(vis)
+            )
+            it = it + length - 1  # event checks below run at the chunk end
+        else:
+            vi = int(rng.integers(len(viewmats)))
+            params, opt_state, loss, l1, screen_grad = step(
+                params, opt_state, jnp.asarray(viewmats[vi]),
+                jnp.asarray(images[vi])
+            )
+            sg = np.asarray(screen_grad)
+            seen = sg > 0
+            grad_accum[seen] += sg[seen]
+            denom[seen] += 1
 
         in_densify = cfg.densify_from <= it < cfg.densify_until
         if in_densify and it % cfg.densify_interval == 0:
+            if use_scan:
+                grad_accum = np.asarray(ga)
+                denom = np.asarray(dn)
             merged = densify_and_prune(
                 params, grad_accum, denom, cfg, active_n, spatial_scale, rng
             )
@@ -296,9 +379,12 @@ def train_gaussian_splatting(
             tx, opt_state = fresh_opt(params)
             grad_accum = np.zeros(capacity, np.float32)
             denom = np.zeros(capacity, np.float32)
+            ga = jnp.zeros(capacity, jnp.float32)
+            dn = jnp.zeros(capacity, jnp.float32)
 
         if it % cfg.opacity_reset_interval == 0:
-            o = np.asarray(params["opacity"])
+            # np.array (copy): np.asarray of a jax array is read-only
+            o = np.array(params["opacity"])
             o[:active_n] = np.minimum(o[:active_n], G.inverse_sigmoid(0.01))
             params = {**params, "opacity": jnp.asarray(o)}
             tx, opt_state = fresh_opt(params)
@@ -308,6 +394,7 @@ def train_gaussian_splatting(
                 "gs iter %d loss %.4f l1 %.4f gaussians %d (%.1fs)",
                 it, float(loss), float(l1), active_n, time.time() - t0,
             )
+        it += 1
 
     out = output_dir / "point_cloud" / f"iteration_{cfg.iterations}"
     out.mkdir(parents=True, exist_ok=True)

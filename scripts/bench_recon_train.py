@@ -236,6 +236,36 @@ def field_wallclock(iters: int):
     return dt
 
 
+def gs_train_wallclock(iters: int):
+    """train_gaussian_splatting wall clock at 800^2 / 100k gaussians on a
+    synthetic dataset (densify/reset disabled so capacity stays fixed and
+    the PIXIE_GS_SCAN A/B isolates the loop-scheduling cost; the loop
+    includes adam, unlike the raw gs step-loop in bench_gs.py)."""
+    import dataclasses
+    import tempfile
+
+    from pixie_tpu.recon import train_gaussians as tg
+
+    ds, _ = synth_dataset(n_img=8)
+    orig_load = tg.load_dataset
+    tg.load_dataset = lambda *a, **k: dict(ds)
+    rng = np.random.default_rng(0)
+    init = rng.uniform(-0.5, 0.5, (100_000, 3)).astype(np.float32)
+    cfg = tg.GSTrainConfig(iterations=iters, densify_from=10**9,
+                           opacity_reset_interval=10**9)
+    out = tempfile.mkdtemp()
+    t0 = time.time()
+    try:
+        tg.train_gaussian_splatting(ds, out, cfg=cfg, init_points=init,
+                                    log_every=max(iters // 10, 1))
+    finally:
+        tg.load_dataset = orig_load
+    dt = time.time() - t0
+    print(f"gs trainer {iters} iters: {dt:.1f}s "
+          f"({dt / iters * 1e3:.1f} ms/iter incl. dispatch)", flush=True)
+    return dt
+
+
 def gs_wallclock(iters: int):
     """3DGS training wall clock at 800^2 / 100k gaussians (the reference
     gaussian-splatting train.py --iterations 10000 analog)."""
@@ -258,6 +288,9 @@ def main():
                          "env-toggle A/B runs where A-D are irrelevant")
     ap.add_argument("--field-iters", type=int, default=0)
     ap.add_argument("--gs-iters", type=int, default=0)
+    ap.add_argument("--gs-train-iters", type=int, default=0,
+                    help="train_gaussian_splatting wall clock (incl. adam; "
+                         "respects PIXIE_GS_SCAN)")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--rays", type=int, default=0,
                     help="override rays/batch (0 = production 4096)")
@@ -274,6 +307,9 @@ def main():
     if args.gs_iters:
         out["gs_train_s"] = gs_wallclock(args.gs_iters)
         out["gs_iters"] = args.gs_iters
+    if args.gs_train_iters:
+        out["gs_trainer_s"] = gs_train_wallclock(args.gs_train_iters)
+        out["gs_trainer_iters"] = args.gs_train_iters
     print(json.dumps({k: round(v, 2) for k, v in out.items()}), flush=True)
 
 

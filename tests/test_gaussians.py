@@ -118,6 +118,64 @@ class TestTraining:
         assert out.exists()
         assert len(final["xyz"]) == 300
 
+    def test_scan_chunk_loop_matches_per_step_loop(self, tmp_path,
+                                                    monkeypatch):
+        """PIXIE_GS_SCAN=K (device-resident views, densify stats in the
+        scan carry, one dispatch per stretch) must be a pure scheduling
+        change: identical view-index rng sequence and accumulation math,
+        so final params match the per-step loop to float tolerance."""
+        from tests.test_recon import make_synthetic_blender_dataset
+        from pixie_tpu.recon.train_gaussians import (
+            GSTrainConfig,
+            train_gaussian_splatting,
+        )
+
+        data = make_synthetic_blender_dataset(tmp_path / "data", n_views=4,
+                                              res=24)
+        cfg = GSTrainConfig(
+            iterations=14, densify_from=10_000,
+            opacity_reset_interval=10_000, seed=0,
+        )
+        init = np.random.default_rng(0).uniform(
+            -0.4, 0.4, (300, 3)).astype(np.float32)
+        outs = {}
+        for k in ("0", "6"):  # 6 does not divide 14: exercises the cap
+            monkeypatch.setenv("PIXIE_GS_SCAN", k)
+            final = train_gaussian_splatting(
+                data, tmp_path / f"out{k}", cfg=cfg, init_points=init,
+                log_every=1000,
+            )
+            outs[k] = {kk: np.asarray(v) for kk, v in final.items()}
+        for kk in outs["0"]:
+            np.testing.assert_allclose(outs["0"][kk], outs["6"][kk],
+                                       rtol=2e-4, atol=2e-6)
+
+    def test_scan_chunk_with_densify_event(self, tmp_path, monkeypatch):
+        """The chunked loop must break at densify boundaries, fetch the
+        carried stats once, and continue at the grown capacity."""
+        from tests.test_recon import make_synthetic_blender_dataset
+        from pixie_tpu.recon.train_gaussians import (
+            GSTrainConfig,
+            train_gaussian_splatting,
+        )
+
+        monkeypatch.setenv("PIXIE_GS_SCAN", "8")
+        data = make_synthetic_blender_dataset(tmp_path / "data", n_views=4,
+                                              res=24)
+        cfg = GSTrainConfig(
+            iterations=16, densify_from=4, densify_until=16,
+            densify_interval=8, densify_grad_threshold=1e-7,  # force splits
+            opacity_reset_interval=10_000, seed=0,
+        )
+        init = np.random.default_rng(0).uniform(
+            -0.4, 0.4, (64, 3)).astype(np.float32)
+        final = train_gaussian_splatting(
+            data, tmp_path / "out", cfg=cfg, init_points=init,
+            log_every=1000,
+        )
+        assert len(final["xyz"]) != 64  # densify actually fired
+        assert all(np.isfinite(v).all() for v in final.values())
+
     def test_search_for_max_iteration(self, tmp_path):
         from pixie_tpu.recon.train_gaussians import search_for_max_iteration
 
