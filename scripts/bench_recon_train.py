@@ -17,6 +17,7 @@ Run:  python scripts/bench_recon_train.py --profile-step --field-iters 500
 
 import argparse
 import json
+import logging
 import os
 import sys
 import time
@@ -231,8 +232,13 @@ def field_wallclock(iters: int):
     finally:
         tf.load_dataset = orig_load
     dt = time.time() - t0
-    print(f"field train {iters} iters: {dt:.1f}s "
-          f"({dt / iters * 1e3:.1f} ms/iter incl. dispatch)", flush=True)
+    # loop-only time (the trainer's own t0->end window, excluding setup /
+    # dataset upload / checkpoint save) from the metrics it writes
+    with open(os.path.join(out, "metrics.json")) as f:
+        loop_s = json.load(f)["train_s"]
+    print(f"field train {iters} iters: {dt:.1f}s total "
+          f"({dt / iters * 1e3:.1f} ms/iter), loop {loop_s:.1f}s "
+          f"({loop_s / iters * 1e3:.1f} ms/iter)", flush=True)
     return dt
 
 
@@ -281,6 +287,14 @@ def gs_wallclock(iters: int):
 
 
 def main():
+    # surface the trainers' per-log-boundary elapsed marks (field logs every
+    # iters//10 with loop-elapsed seconds): steady-state per-iter is the
+    # delta between marks, separating one-off costs (dataset upload over the
+    # tunnel, chunk compile/cache-load, checkpoint save) from the loop —
+    # needed to attribute tunnel-window variance (r5h: warm field-1000 runs
+    # 510.7 s vs 734.9 s on identical cached programs).
+    logging.basicConfig(level=logging.INFO, force=True,
+                        format="%(asctime)s %(message)s")
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile-step", action="store_true")
     ap.add_argument("--only-step", action="store_true",
