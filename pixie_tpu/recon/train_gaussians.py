@@ -283,8 +283,15 @@ def train_gaussian_splatting(
     # boundary in ONE dispatch, and fetches stats once per densify event.
     # View-index sequence and accumulation math are identical to the
     # per-step loop (parity: tests/test_gaussians.py scan-chunk test).
-    # Default 0 (per-step) until the r5h TPU wall-clock A/B picks a K.
-    scan_k = int(os.environ.get("PIXIE_GS_SCAN", "0"))
+    # Default: K=100 for production-length trainings (r5h TPU A/B at
+    # 800^2/100k: scan-100 steady state 120.0 ms/iter, dead-flat 24.0 s per
+    # 200-iter mark, vs the per-step loop's ~168 ms/iter wall at 10k iters
+    # [r5f] — the per-iter screen-grad stats fetch + view re-upload cost
+    # ~48 ms/iter of tunnel overhead the chunk removes;
+    # docs/tpu_logs/r5h_queue.log).  Short runs (tests, probes) stay
+    # per-step so they don't pay the ~166 s chunk compile.
+    default_k = "100" if cfg.iterations >= 1000 else "0"
+    scan_k = int(os.environ.get("PIXIE_GS_SCAN", default_k))
     use_scan = scan_k > 1
 
     if use_scan:
